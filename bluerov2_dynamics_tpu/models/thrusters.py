@@ -1,0 +1,83 @@
+"""Thruster actuation: T200 static curve, wrench map, third-order lag.
+
+Replaces the reference's per-thruster Python loop + stateful filter objects
+(``/root/reference/fossen/BlueROV2.py:234-278, 464-510``) with batched
+array kernels and **explicit** lag state of shape ``(..., 8, 3)`` threaded
+through the rollout carry.
+
+Design note on lag semantics: the reference advances the lag filters as a
+side effect of *every* RHS evaluation, so RK4 advances them four times per
+step and the state leaks across rollout starts
+(SURVEY.md §3.3).  Here the lag advances exactly once per outer integrator
+step and the resulting dynamic thrust is zero-order-held across RK4 stages
+— a principled, pure-function semantic.  For explicit-Euler integration
+(one RHS call per step) this matches the reference exactly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from bluerov2_dynamics_tpu.models.params import LagParams, ThrusterConfig
+
+
+def static_thrust(cfg: ThrusterConfig, V):
+    """T200 static thrust curve F(V) for normalized commands V in [-1, 1].
+
+    ``F = 8.9 V + 176 V^3 - 404.1 V^5 + 389.9 V^7 - 140.3 V^9``
+    (``fossen/BlueROV2.py:234-243``), evaluated in Horner form on V^2.
+    Natively batched over any shape.
+    """
+    c1, c3, c5, c7, c9 = (cfg.curve[i] for i in range(5))
+    V2 = V * V
+    return V * (c1 + V2 * (c3 + V2 * (c5 + V2 * (c7 + V2 * c9))))
+
+
+def wrench_from_thrust(cfg: ThrusterConfig, F):
+    """Body wrench tau (..., 6) from per-thruster forces F (..., 8).
+
+    ``tau = sum_i F_i [d_i ; r_i x d_i] = F @ wrench_map``
+    (``fossen/BlueROV2.py:265-278``), a single small GEMM over the batch.
+    """
+    return F @ cfg.wrench_map
+
+
+def lag_step(lag: LagParams, state, F_cmd):
+    """Advance all lag filters one sample.
+
+    Parameters
+    ----------
+    state : ``(..., 8, 3)`` filter states (zeros = at-rest filters).
+    F_cmd : ``(..., 8)`` commanded static thrusts.
+
+    Returns ``(new_state, F_dyn)`` with ``F_dyn`` of shape ``(..., 8)``.
+    Discrete update ``x' = Ad x + Bd u``, output ``F = c . x'`` — matching
+    ``ThrusterLag.step`` (``fossen/BlueROV2.py:503-510``) where the output
+    is read *after* the state update.
+    """
+    new_state = state @ lag.Ad.T + F_cmd[..., None] * lag.Bd
+    F_dyn = new_state @ lag.c
+    return new_state, F_dyn
+
+
+def init_lag_state(batch_shape=(), dtype=jnp.float32):
+    """Zero (at-rest) lag state of shape ``batch_shape + (8, 3)``."""
+    return jnp.zeros((*batch_shape, 8, 3), dtype)
+
+
+def thruster_wrench(cfg: ThrusterConfig, lag: LagParams, lag_state, u8):
+    """Full actuation path: commands -> static curve -> lag -> body wrench.
+
+    Returns ``(new_lag_state, tau)``; equivalent to
+    ``compute_thruster_forces`` (``fossen/BlueROV2.py:265-278``) for one
+    sample step, but batched and pure.
+    """
+    F_cmd = static_thrust(cfg, u8)
+    new_state, F_dyn = lag_step(lag, lag_state, F_cmd)
+    return new_state, wrench_from_thrust(cfg, F_dyn)
+
+
+def thruster_wrench_nolag(cfg: ThrusterConfig, u8):
+    """Static-curve-only wrench (lag disabled), cf. the commented-out path
+    at ``fossen/BlueROV2.py:260-261``."""
+    return wrench_from_thrust(cfg, static_thrust(cfg, u8))
