@@ -1,0 +1,108 @@
+"""Shared model evaluators: one-step RMSE and endpoint H-step RMSE.
+
+The reference evaluates every model with the same metric — the endpoint
+RMSE after H open-loop steps, averaged over **all** N-H start indices
+(``Koopman/koopmanEDMDc.py:172-200``,
+``train_tank_brov2_full_comparison.py:469-487``).  For the physics model it
+runs a Python rollout per start: ~45k rollouts, 1246 s at H=100 on the
+reference CPU (``training/best_results.txt:801``).
+
+TPU-native formulation: all N-H starts advance **simultaneously** as one
+batch.  At inner step t, start k needs input ``U[k+t]`` — for the whole
+batch that is the contiguous slice ``U[t : t+n_start]``, so the evaluation
+is a single ``lax.scan`` of length H over a ``(n_start, n)`` state batch
+with one dynamic slice per step.  No gather, no per-start rollouts; the
+same trick the reference's Koopman class uses for its lifted linear model
+is generalised here to *any* step function.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def rmse(y_true, y_pred):
+    """Root-mean-square error over all elements
+    (``train_tank_brov2_full_comparison.py:113-114``)."""
+    d = jnp.asarray(y_true) - jnp.asarray(y_pred)
+    return jnp.sqrt(jnp.mean(d * d))
+
+
+def one_step_rmse(step: Callable, X, U):
+    """RMSE of single-step predictions over a trajectory.
+
+    ``step(x_batch, u_batch) -> x_next_batch`` natively batched; compares
+    ``step(X[:-1], U[:-1])`` to ``X[1:]``, the evaluator of
+    ``Koopman/koopmanEDMDc.py:157-170`` generalised to any model.
+    """
+    pred = step(X[:-1], U[:-1])
+    return rmse(X[1:], pred)
+
+
+def _scan_all_starts(step: Callable, carry0, U, H: int, n_start: int):
+    """Advance all start indices H steps; returns the final carry.
+
+    ``step(carry, u_batch) -> carry`` where ``u_batch = U[t : t+n_start]``
+    at inner step t.
+    """
+
+    def body(carry, t):
+        u_t = jax.lax.dynamic_slice_in_dim(U, t, n_start, axis=0)
+        return step(carry, u_t), None
+
+    carry, _ = jax.lax.scan(body, carry0, jnp.arange(H))
+    return carry
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def endpoint_rmse(step: Callable, X, U, H: int):
+    """Endpoint H-step RMSE over all N-H starts for a stateless step.
+
+    ``step(x_batch, u_batch) -> x_batch`` natively batched.  Matches the
+    reference evaluators exactly: propagate each start k open-loop for H
+    steps under recorded inputs ``U[k:k+H]`` and score the final state
+    against ``X[k+H]``; RMSE over ``n_start * n_states`` elements
+    (``train_tank_brov2_full_comparison.py:469-487``).
+    """
+    N = X.shape[0]
+    n_start = N - H
+    final = _scan_all_starts(lambda c, u: step(c, u), X[:n_start], U, H, n_start)
+    return rmse(X[H:], final)
+
+
+def endpoint_rmse_carry(
+    step: Callable,
+    init_aux: Callable,
+    X,
+    U,
+    H: int,
+    get_state: Optional[Callable] = None,
+):
+    """Endpoint H-step RMSE for steps with auxiliary carry (e.g. lag state).
+
+    ``step((x_batch, aux), u_batch) -> (x_batch, aux)``;
+    ``init_aux(x_batch) -> aux`` builds a fresh per-start auxiliary state.
+
+    Note: the reference shares ONE stateful model instance across all start
+    indices, so filter state leaks between rollouts
+    (``train_tank_brov2_full_comparison.py:479-487`` + SURVEY.md §3.3).
+    Here every start gets a fresh, independent auxiliary state — the
+    principled semantic (validated to give metric-level parity on smooth
+    inputs).
+    """
+
+    @partial(jax.jit, static_argnums=(2,))
+    def run(X, U, H):
+        N = X.shape[0]
+        n_start = N - H
+        x0 = X[:n_start]
+        carry0 = (x0, init_aux(x0))
+        final, _aux = _scan_all_starts(step, carry0, U, H, n_start)
+        final_state = final if get_state is None else get_state(final)
+        return rmse(X[H:], final_state)
+
+    return run(X, U, H)
