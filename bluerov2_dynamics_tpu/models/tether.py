@@ -1,0 +1,236 @@
+"""Lumped-mass tether model, vectorized over segments.
+
+Rebuild of the reference ``Tether`` class
+(``/root/reference/fossen/BlueROV2.py:517-663``): node 0 is a fixed anchor,
+node n is the ROV; the ``n-1`` internal nodes carry ``6*(n-1)`` states
+(positions then velocities, NED).  Per segment: axial tension with slack
+cut-off, internal axial damping, and hydrodynamic drag split along/normal
+to the cable.
+
+The reference loops over segments and nodes in Python
+(``fossen/BlueROV2.py:614-659``); here every per-segment quantity is an
+array op over the segment axis, natively batched over leading dims.
+
+Behavioral note (kept for parity): the reference computes the drag
+component **along** the cable with the *normal* drag coefficient ``Cn``
+and the orthogonal component with ``Ct`` (``fossen/BlueROV2.py:633-641``)
+— the variable names there are swapped relative to the physics.  We
+reproduce the computation exactly and name the components honestly.
+
+Stiffness: with E=6.437e7 the axial mode is stiff; the reference resorts
+to an implicit BDF solver (``fossen/test_ode.py:43-50``).  Here the
+coupled rollout sub-steps an explicit integrator (``substeps`` inner RK4
+steps per outer step), which is stable for the default parameters at
+dt_inner ~ 2.5e-4 (validated against BDF in tests/test_tether.py) and keeps the whole rollout jittable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class TetherConfig:
+    """Static tether parameters (defaults from ``fossen/BlueROV2.py:533-555``)."""
+
+    n_segments: int = 10
+    length: float = 35.0
+    diameter: float = 0.0075
+    e_modulus: float = 6.437e7
+    drag_normal: float = 1.2      # Cn — applied to the along-cable component (see module note)
+    drag_tangent: float = 0.01    # Ct — applied to the orthogonal component
+    c_internal: float = 100.0
+    mass_per_length: float = 0.043
+    rho: float = 1000.0
+
+    @property
+    def cross_area(self) -> float:
+        return math.pi * (0.5 * self.diameter) ** 2
+
+    @property
+    def l0(self) -> float:
+        return self.length / float(self.n_segments)
+
+    @property
+    def node_mass(self) -> float:
+        return self.mass_per_length * self.l0
+
+    @property
+    def n_states(self) -> int:
+        return 0 if self.n_segments < 2 else 6 * (self.n_segments - 1)
+
+
+def init_nodes_line(cfg: TetherConfig, anchor, rov_pos, dtype=jnp.float32):
+    """Internal nodes on the straight line anchor -> ROV, zero velocity
+    (``fossen/BlueROV2.py:557-581``)."""
+    n = cfg.n_segments
+    if n < 2:
+        return jnp.zeros((0,), dtype)
+    anchor = jnp.asarray(anchor, dtype)
+    rov_pos = jnp.asarray(rov_pos, dtype)
+    alphas = jnp.arange(1, n, dtype=dtype)[:, None] / n   # (n-1, 1)
+    p = anchor + alphas * (rov_pos - anchor)              # (n-1, 3)
+    return jnp.concatenate([p.reshape(-1), jnp.zeros(3 * (n - 1), dtype)])
+
+
+def tether_dynamics(cfg: TetherConfig, x_teth, anchor_pos, rov_pos, rov_vel, current_ned):
+    """Time derivative of the tether state and the force on the ROV.
+
+    ``x_teth``: ``(..., 6*(n-1))``; anchor/rov pos/vel/current: ``(..., 3)``.
+    Returns ``(dx_teth, F_on_rov)`` with ``F_on_rov = T_{n-1}`` (the last
+    segment's tension), matching ``Tether.dynamics``
+    (``fossen/BlueROV2.py:583-663``).
+    """
+    n = cfg.n_segments
+    if n < 2:
+        return jnp.zeros_like(x_teth), jnp.zeros_like(jnp.asarray(rov_pos))
+    n_i = n - 1
+    batch = x_teth.shape[:-1]
+    p_int = x_teth[..., : 3 * n_i].reshape(*batch, n_i, 3)
+    v_int = x_teth[..., 3 * n_i :].reshape(*batch, n_i, 3)
+
+    def _node_axis(end_a, mid, end_b):
+        a = jnp.broadcast_to(end_a[..., None, :], (*batch, 1, 3))
+        b = jnp.broadcast_to(end_b[..., None, :], (*batch, 1, 3))
+        return jnp.concatenate([a, mid, b], axis=-2)      # (..., n+1, 3)
+
+    pos = _node_axis(jnp.asarray(anchor_pos), p_int, jnp.asarray(rov_pos))
+    vel = _node_axis(jnp.zeros_like(jnp.asarray(rov_vel)), v_int, jnp.asarray(rov_vel))
+
+    # Segment geometry (segment k connects node k -> k+1), k = 0 .. n-1
+    r = pos[..., 1:, :] - pos[..., :-1, :]                 # (..., n, 3)
+    L = jnp.linalg.norm(r, axis=-1, keepdims=True) + 1e-12
+    rhat = r / L
+
+    # Axial tension with slack cut-off (Eq. 36 in the cited paper)
+    ea_over_l0 = cfg.e_modulus * cfg.cross_area / cfg.l0
+    stretch = L - cfg.l0
+    T = jnp.where(stretch > 0.0, ea_over_l0 * stretch, 0.0) * rhat
+
+    # Internal axial damping (Eq. 29)
+    dv = vel[..., 1:, :] - vel[..., :-1, :]
+    P = cfg.c_internal * jnp.sum(dv * rhat, axis=-1, keepdims=True) * rhat
+
+    # Hydrodynamic drag on segment k from the flow at node k (Eqs. 30-34;
+    # coefficient/component pairing preserved from the reference, see
+    # module docstring).
+    v_flow = jnp.asarray(current_ned)[..., None, :] - vel[..., :-1, :]
+    v_along = jnp.sum(v_flow * rhat, axis=-1, keepdims=True) * rhat
+    v_orth = v_flow - v_along
+    half_rho_d = 0.5 * cfg.rho * cfg.diameter
+    F_along = half_rho_d * cfg.drag_normal * L * jnp.linalg.norm(
+        v_along, axis=-1, keepdims=True
+    ) * v_along
+    F_orth = half_rho_d * cfg.drag_tangent * L * jnp.linalg.norm(
+        v_orth, axis=-1, keepdims=True
+    ) * v_orth
+    F = F_along + F_orth
+
+    # Net force on internal node i = T_i - T_{i-1} + P_{i-1} - P_i + F_i
+    F_net = (
+        T[..., 1:, :] - T[..., :-1, :]
+        + P[..., :-1, :] - P[..., 1:, :]
+        + F[..., 1:, :]
+    )
+    accel = F_net / cfg.node_mass
+    dx = jnp.concatenate(
+        [v_int.reshape(*batch, -1), accel.reshape(*batch, -1)], axis=-1
+    )
+    return dx, T[..., -1, :]
+
+
+# ---------------------------------------------------------------------------
+# Coupled ROV + tether dynamics (reference dynamics_with_tether,
+# fossen/BlueROV2.py:405-457)
+# ---------------------------------------------------------------------------
+
+def coupled_rhs(p, cfg: TetherConfig, x_ext, tau, anchor_pos):
+    """RHS of the extended state ``[x12, tether(6*(n-1))]`` under body wrench
+    ``tau``: the tether tension at the ROV end is rotated to the body frame
+    and added to the wrench (``fossen/BlueROV2.py:441-449``)."""
+    from bluerov2_dynamics_tpu.models.fossen import wrench_rhs_euler
+    from bluerov2_dynamics_tpu.ops.rotations import rotate_b2n, rotate_n2b
+
+    x12 = x_ext[..., :12]
+    x_teth = x_ext[..., 12:]
+    phi, theta, psi = x12[..., 3], x12[..., 4], x12[..., 5]
+    rov_pos = x12[..., 0:3]
+    rov_vel_ned = rotate_b2n(phi, theta, psi, x12[..., 6:9])
+    current = jnp.broadcast_to(p.current, rov_pos.shape)
+    dx_teth, F_teth_ned = tether_dynamics(
+        cfg, x_teth, jnp.asarray(anchor_pos), rov_pos, rov_vel_ned, current
+    )
+    F_body = rotate_n2b(phi, theta, psi, F_teth_ned)
+    tau_total = jnp.concatenate(
+        [tau[..., 0:3] + F_body, tau[..., 3:6]], axis=-1
+    )
+    xdot12 = wrench_rhs_euler(p, x12, tau_total)
+    return jnp.concatenate([xdot12, dx_teth], axis=-1)
+
+
+def make_coupled_step(
+    p,
+    thr_cfg,
+    lag,
+    cfg: TetherConfig,
+    anchor_pos,
+    dt: float,
+    method: str = "rk4",
+    substeps: int = 40,
+    use_lag: bool = True,
+):
+    """Discrete step for the thruster-driven ROV with tether.
+
+    ``step((x_ext, lag_state), u8) -> (x_ext', lag_state')``.  The thruster
+    wrench (incl. lag) is computed once per outer step; the stiff coupled
+    RHS is integrated with ``substeps`` inner steps (explicit alternative
+    to the reference's implicit BDF, ``fossen/test_ode.py:43-50``).
+    """
+    from bluerov2_dynamics_tpu.models.thrusters import (
+        thruster_wrench,
+        thruster_wrench_nolag,
+    )
+    from bluerov2_dynamics_tpu.ops.integrators import rollout_stepper
+
+    def step(carry, u8):
+        x_ext, lag_state = carry
+        if use_lag:
+            lag_state, tau = thruster_wrench(thr_cfg, lag, lag_state, u8)
+        else:
+            tau = thruster_wrench_nolag(thr_cfg, u8)
+        inner = rollout_stepper(
+            lambda x, t: coupled_rhs(p, cfg, x, t, anchor_pos),
+            dt,
+            method=method,
+            substeps=substeps,
+        )
+        return (inner(x_ext, tau), lag_state)
+
+    return step
+
+
+def simulate_with_tether(
+    p,
+    thr_cfg,
+    lag,
+    cfg: TetherConfig,
+    anchor_pos,
+    x0_ext,
+    U,
+    dt: float,
+    method: str = "rk4",
+    substeps: int = 40,
+    use_lag: bool = True,
+):
+    """Open-loop rollout of the coupled system; returns ``(T+1, 12+6(n-1))``."""
+    from bluerov2_dynamics_tpu.ops.integrators import rollout
+
+    lag_state0 = jnp.zeros((*x0_ext.shape[:-1], 8, 3), x0_ext.dtype)
+    step = make_coupled_step(
+        p, thr_cfg, lag, cfg, anchor_pos, dt, method, substeps, use_lag
+    )
+    _, (traj, _) = rollout(step, (x0_ext, lag_state0), U, include_initial=True)
+    return traj
