@@ -1,0 +1,363 @@
+"""PINc: physics-informed residual one-step dynamics network (flax/optax).
+
+Rebuild of the reference PINc stack
+(``/root/reference/training/train_tank_brov2_full_comparison.py:598-888``):
+a residual integrator ``x_{k+1} = x_k + f_theta([x_k, u_k, dt])`` on the
+reduced 9-state ``[x, y, z, cos(psi), sin(psi), u, v, w, r]`` with 4-input
+body wrench ``[X, Y, Z, Mz]``; MLP (64,64,64,64) with learnable-beta
+AdaptiveSoftplus + LayerNorm, a yaw-rotated xy residual head, and cos/sin
+renormalization.  Training: AdamW(3e-3) + global-norm clip 5.0, loss =
+MSE + 0.5 * physics residual + multi-step rollout loss.
+
+Documented deviations from the reference (both improve the model; the
+reference PINc run diverged, ``training/best_results.txt:793``):
+
+1. The reference computes the physics loss under ``@torch.no_grad``
+   (``train_tank_brov2_full_comparison.py:747-757``), which makes it a
+   *constant* added to the loss — it contributes no gradient at all.  Here
+   the physics loss participates in the gradient by default;
+   ``physics_stop_gradient=True`` reproduces the reference behavior.
+2. The reference rollout loss treats the rows of a *shuffled* minibatch as
+   consecutive transitions (``:760-787`` fed from a shuffled DataLoader,
+   ``:809``) — i.e. it rolls out across unrelated samples.  Here the
+   rollout loss uses genuine consecutive windows sampled from the
+   trajectory.
+
+The training loop is fully jitted: one ``lax.scan`` over minibatches per
+epoch, all data resident on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+
+from bluerov2_dynamics_tpu.models.fossen import reduced_rhs
+from bluerov2_dynamics_tpu.models.params import (
+    LagParams,
+    ReducedParams,
+    ThrusterConfig,
+    reduced_params,
+)
+from bluerov2_dynamics_tpu.models.thrusters import static_thrust, lag_step, wrench_from_thrust
+
+
+# ---------------------------------------------------------------------------
+# State conversions 12D <-> 9D (train_tank_brov2_full_comparison.py:612-645)
+# ---------------------------------------------------------------------------
+
+def state12_to_9(x12):
+    """``[x,y,z,phi,theta,psi,u,v,w,p,q,r] -> [x,y,z,cos psi,sin psi,u,v,w,r]``
+    — batched (the reference converts row by row)."""
+    psi = x12[..., 5]
+    return jnp.concatenate(
+        [
+            x12[..., 0:3],
+            jnp.stack([jnp.cos(psi), jnp.sin(psi)], axis=-1),
+            x12[..., 6:9],
+            x12[..., 11:12],
+        ],
+        axis=-1,
+    )
+
+
+def state9_to_12(x9):
+    """Inverse embedding for metrics/plots: phi, theta, p, q are zeroed,
+    exactly as the reference does (``:630-641``) — those channels therefore
+    contribute their true values to the 12D RMSE."""
+    psi = jnp.arctan2(x9[..., 4], x9[..., 3])
+    zeros2 = jnp.zeros_like(x9[..., 0:2])
+    return jnp.concatenate(
+        [
+            x9[..., 0:3],
+            zeros2,
+            psi[..., None],
+            x9[..., 5:8],
+            zeros2,
+            x9[..., 8:9],
+        ],
+        axis=-1,
+    )
+
+
+def wrench4_from_thrusters(cfg: ThrusterConfig, lag: LagParams, U8):
+    """Map a whole thruster-command trajectory to 4D body wrenches.
+
+    The reference maps row-by-row through a *stateful* thruster model, so
+    the wrench dataset is lag-filtered sequentially along the trajectory
+    (``train_tank_brov2_full_comparison.py:601-609, 724-744``).  Here that
+    is one explicit ``lax.scan`` over time with the lag state as carry.
+    ``U8``: ``(T, 8)`` -> returns ``(T, 4)`` = [Fx, Fy, Fz, Mz].
+    """
+
+    def body(lag_state, u8):
+        new_state, F_dyn = lag_step(lag, lag_state, static_thrust(cfg, u8))
+        tau6 = wrench_from_thrust(cfg, F_dyn)
+        return new_state, tau6[..., jnp.array([0, 1, 2, 5])]
+
+    lag0 = jnp.zeros((8, 3), U8.dtype)
+    _, U4 = jax.lax.scan(body, lag0, U8)
+    return U4
+
+
+# ---------------------------------------------------------------------------
+# Network
+# ---------------------------------------------------------------------------
+
+class AdaptiveSoftplus(nn.Module):
+    """softplus(beta * x) / beta with a learnable scalar beta
+    (``train_tank_brov2_full_comparison.py:648-654``)."""
+
+    beta_init: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        beta = self.param("beta", lambda _: jnp.asarray(self.beta_init, x.dtype))
+        return jax.nn.softplus(beta * x) / (beta + 1e-12)
+
+
+class PINcNet(nn.Module):
+    """Residual one-step integrator on the reduced 9-state.
+
+    Input ``z = [x9, u4, dt]`` of width 14; output = next 9-state.  The xy
+    residual is rotated body->world by the current yaw and the (cos, sin)
+    pair is renormalized (``train_tank_brov2_full_comparison.py:657-721``).
+    """
+
+    hidden: Sequence[int] = (64, 64, 64, 64)
+
+    @nn.compact
+    def __call__(self, z):
+        h = z
+        for width in self.hidden:
+            h = nn.Dense(width)(h)
+            h = AdaptiveSoftplus()(h)
+            h = nn.LayerNorm()(h)
+        dx = nn.Dense(9)(h)
+
+        x9 = z[..., :9]
+        cpsi, spsi = z[..., 3], z[..., 4]
+        dx_wx = cpsi * dx[..., 0] - spsi * dx[..., 1]
+        dx_wy = spsi * dx[..., 0] + cpsi * dx[..., 1]
+        base = x9 + dx
+        c, s = base[..., 3], base[..., 4]
+        norm = jnp.maximum(jnp.sqrt(c * c + s * s), 1e-6)
+        return jnp.concatenate(
+            [
+                (x9[..., 0] + dx_wx)[..., None],
+                (x9[..., 1] + dx_wy)[..., None],
+                base[..., 2:3],
+                (c / norm)[..., None],
+                (s / norm)[..., None],
+                base[..., 5:9],
+            ],
+            axis=-1,
+        )
+
+
+def init_params(key, hidden: Sequence[int] = (64, 64, 64, 64), dtype=jnp.float32):
+    net = PINcNet(hidden=tuple(hidden))
+    params = net.init(key, jnp.zeros((1, 14), dtype))
+    return net, params
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+def mse_loss(pred, target):
+    d = pred - target
+    return jnp.mean(d * d)
+
+
+def physics_loss(rp: ReducedParams, x_next_pred, u4, stop_gradient: bool = False):
+    """Penalize the norm of the continuous reduced RHS at the predicted next
+    state (``train_tank_brov2_full_comparison.py:747-757``).  With
+    ``stop_gradient=True`` this reproduces the reference's ``no_grad``
+    semantics (a constant w.r.t. the parameters)."""
+    val = jnp.mean(reduced_rhs(rp, x_next_pred, u4) ** 2)
+    return jax.lax.stop_gradient(val) if stop_gradient else val
+
+
+def rollout_loss(net: PINcNet, params, z_windows, steps: int):
+    """Multi-step open-loop loss over consecutive windows.
+
+    ``z_windows``: ``(B, steps+1, 14)`` consecutive rows ``[x9, u4, dt]``.
+    From each window's first state, roll the model ``steps`` steps using the
+    recorded inputs and penalize per-step MSE against the recorded states.
+    """
+    x = z_windows[:, 0, :9]
+    dt_col = z_windows[:, 0, 13:14]
+
+    def body(x, i):
+        z_i = jnp.concatenate([x, z_windows[:, i, 9:13], dt_col], axis=-1)
+        x_next = net.apply(params, z_i)
+        step_mse = mse_loss(x_next, z_windows[:, i + 1, :9])
+        return x_next, step_mse
+
+    _, losses = jax.lax.scan(body, x, jnp.arange(steps))
+    return jnp.mean(losses)
+
+
+# ---------------------------------------------------------------------------
+# Dataset & training
+# ---------------------------------------------------------------------------
+
+class PINcData(NamedTuple):
+    z: jnp.ndarray   # (N-1, 14) [x9_k, u4_k, dt]
+    y: jnp.ndarray   # (N-1, 9)  x9_{k+1}
+    u4: jnp.ndarray  # (N-1, 4)
+
+
+def make_dataset(X12, U8, dt, cfg: ThrusterConfig, lag: LagParams) -> PINcData:
+    """(x9_k, u4_k, dt) -> x9_{k+1} training pairs
+    (``train_tank_brov2_full_comparison.py:724-744``)."""
+    X9 = state12_to_9(X12)
+    U4 = wrench4_from_thrusters(cfg, lag, U8)
+    dts = jnp.full((X9.shape[0] - 1, 1), dt, X9.dtype)
+    z = jnp.concatenate([X9[:-1], U4[:-1], dts], axis=-1)
+    return PINcData(z=z, y=X9[1:], u4=U4[:-1])
+
+
+class TrainConfig(NamedTuple):
+    epochs: int = 200
+    batch: int = 256
+    lr: float = 3e-3
+    clip_norm: float = 5.0
+    physics_weight: float = 0.5
+    physics_stop_gradient: bool = False
+    rollout_steps: int = 10
+    rollout_windows: int = 16   # windows per batch for the rollout loss
+    rollout_weight: float = 1.0
+
+
+def make_optimizer(tc: TrainConfig):
+    return optax.chain(
+        optax.clip_by_global_norm(tc.clip_norm),
+        optax.adamw(tc.lr),
+    )
+
+
+def train(
+    key,
+    data: PINcData,
+    tc: TrainConfig = TrainConfig(),
+    hidden: Sequence[int] = (64, 64, 64, 64),
+    rp: ReducedParams | None = None,
+    log_every: int = 0,
+):
+    """Train PINc; returns ``(net, params, loss_history)``.
+
+    The whole epoch (shuffle, minibatch scan, rollout windows) runs inside
+    one jitted function; the Python loop is only over epochs.
+    """
+    if rp is None:
+        rp = reduced_params(dtype=data.z.dtype)
+    key, init_key = jax.random.split(key)
+    net, params = init_params(init_key, hidden, dtype=data.z.dtype)
+    opt = make_optimizer(tc)
+    opt_state = opt.init(params)
+
+    N = data.z.shape[0]
+    n_batches = max(N // tc.batch, 1)
+    use_rollout = tc.rollout_weight > 0 and tc.rollout_steps > 0 and N > tc.rollout_steps + 1
+
+    def loss_fn(params, z_b, y_b, u4_b, z_win):
+        pred = net.apply(params, z_b)
+        loss = mse_loss(pred, y_b)
+        if tc.physics_weight > 0:
+            loss = loss + tc.physics_weight * physics_loss(
+                rp, pred, u4_b, tc.physics_stop_gradient
+            )
+        if use_rollout:
+            loss = loss + tc.rollout_weight * rollout_loss(
+                net, params, z_win, tc.rollout_steps
+            )
+        return loss
+
+    @jax.jit
+    def epoch(params, opt_state, key):
+        key, pkey, wkey = jax.random.split(key, 3)
+        perm = jax.random.permutation(pkey, N)[: n_batches * tc.batch]
+        perm = perm.reshape(n_batches, tc.batch)
+        # consecutive-window starts for the rollout loss, one set per batch
+        starts = jax.random.randint(
+            wkey, (n_batches, tc.rollout_windows), 0, max(N - tc.rollout_steps - 1, 1)
+        )
+        win_idx = starts[..., None] + jnp.arange(tc.rollout_steps + 1)  # (nb, W, S+1)
+
+        def step(carry, inputs):
+            params, opt_state = carry
+            idx, widx = inputs
+            z_win = data.z[widx]  # (W, S+1, 14)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, data.z[idx], data.y[idx], data.u4[idx], z_win
+            )
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), (perm, win_idx)
+        )
+        return params, opt_state, key, jnp.mean(losses)
+
+    history = []
+    for ep in range(tc.epochs):
+        params, opt_state, key, mean_loss = epoch(params, opt_state, key)
+        history.append(float(mean_loss))
+        if log_every and (ep + 1) % log_every == 0:
+            print(f"[PINc] epoch {ep + 1:4d}/{tc.epochs} | loss ~ {history[-1]:.6f}")
+    return net, params, history
+
+
+# ---------------------------------------------------------------------------
+# Rollout & metrics
+# ---------------------------------------------------------------------------
+
+def make_step(net: PINcNet, params, dt):
+    """Discrete 9-state step ``step(x9_batch, u4_batch) -> x9_batch``."""
+
+    def step(x9, u4):
+        dt_col = jnp.full((*x9.shape[:-1], 1), dt, x9.dtype)
+        z = jnp.concatenate([x9, u4, dt_col], axis=-1)
+        return net.apply(params, z)
+
+    return step
+
+
+def simulate(net, params, x0_12, U4_seq, dt):
+    """Open-loop rollout; returns ``(T+1, 12)`` via the 9->12 embedding
+    (``train_tank_brov2_full_comparison.py:838-862``)."""
+    from bluerov2_dynamics_tpu.ops.integrators import rollout
+
+    step = make_step(net, params, dt)
+    x9_0 = state12_to_9(x0_12)
+    _, traj9 = rollout(step, x9_0, U4_seq)
+    traj12 = state9_to_12(traj9)
+    return jnp.concatenate([jnp.asarray(x0_12)[None], traj12], axis=0)
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def endpoint_rmse(net, params, X12, U4, dt, H: int):
+    """Endpoint H-step RMSE in 12D projection over all starts
+    (``train_tank_brov2_full_comparison.py:865-888``): start states are
+    converted 12->9 once, rolled out in 9D, and the endpoints are embedded
+    back to 12D (zeroed phi/theta/p/q) before scoring."""
+    from bluerov2_dynamics_tpu.eval.metrics import rmse
+
+    N = X12.shape[0]
+    n_start = N - H
+    step = make_step(net, params, dt)
+
+    def body(x9, t):
+        u_t = jax.lax.dynamic_slice_in_dim(U4, t, n_start, axis=0)
+        return step(x9, u_t), None
+
+    x9, _ = jax.lax.scan(body, state12_to_9(X12[:n_start]), jnp.arange(H))
+    return rmse(X12[H:], state9_to_12(x9))
