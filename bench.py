@@ -1,0 +1,81 @@
+"""Headline benchmark: batched 6-DOF RK4 steps/second on one TPU chip.
+
+Baseline (BASELINE.md): the reference's single-trajectory RK4 rollout runs
+at ~851 steps/s on CPU (``training/best_results.txt:232-233``); the north
+star is >= 1e7 batched RK4 steps/s on a single v5e chip.
+
+The benchmarked step is the FULL flagship path per trajectory per step:
+T200 static curve -> third-order thruster lag (explicit state) -> wrench
+map -> closed-form Fossen hydrodynamics -> RK4 (4 RHS evaluations), as one
+``lax.scan`` over time in a single jitted call.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_STEPS_PER_SEC = 851.0  # reference CPU single-trajectory RK4
+
+
+def run(batch: int = 16384, T: int = 500, iters: int = 5, method: str = "rk4"):
+    from bluerov2_dynamics_tpu.models.fossen import make_thruster_step
+    from bluerov2_dynamics_tpu.models.params import (
+        fossen_params,
+        lag_params,
+        thruster_config,
+    )
+
+    dt = 0.02
+    p = fossen_params()
+    cfg = thruster_config()
+    lag = lag_params(dt)
+    step = make_thruster_step(p, cfg, lag, dt, method=method)
+
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    x0 = 0.1 * jax.random.normal(k1, (batch, 12), jnp.float32)
+    lag0 = jnp.zeros((batch, 8, 3), jnp.float32)
+    # per-step shared random commands (streamed from HBM like recorded data)
+    U = jnp.clip(0.5 * jax.random.normal(k2, (T, 8), jnp.float32), -1.0, 1.0)
+
+    @jax.jit
+    def rollout_final(x0, lag0, U):
+        def body(carry, u):
+            return step(carry, u), None
+
+        (x, lag_state), _ = jax.lax.scan(body, (x0, lag0), U)
+        return x
+
+    # compile + warm up
+    out = jax.block_until_ready(rollout_final(x0, lag0, U))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = rollout_final(x0, lag0, U)
+    jax.block_until_ready(out)
+    elapsed = (time.perf_counter() - t0) / iters
+    steps_per_sec = batch * T / elapsed
+    return steps_per_sec, elapsed
+
+
+def main():
+    steps_per_sec, elapsed = run()
+    print(
+        json.dumps(
+            {
+                "metric": "fossen_rk4_steps_per_sec",
+                "value": steps_per_sec,
+                "unit": "6dof_rk4_steps/s",
+                "vs_baseline": steps_per_sec / BASELINE_STEPS_PER_SEC,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,10 @@
+from bluerov2_dynamics_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_along,
+    replicate,
+)
+from bluerov2_dynamics_tpu.parallel.sharded import (  # noqa: F401
+    sharded_endpoint_rmse,
+    sharded_rollout_final,
+    shardmap_endpoint_rmse,
+)

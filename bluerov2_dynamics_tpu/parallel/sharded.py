@@ -1,0 +1,110 @@
+"""Sharded rollouts and metrics over a device mesh.
+
+Two styles are provided:
+
+* **GSPMD** (:func:`sharded_endpoint_rmse`, :func:`sharded_rollout_final`):
+  annotate the start-index batch as sharded over the 'data' axis, keep the
+  input trajectory replicated, and let XLA partition the scan body and
+  insert the final psum for the RMSE reduction.  Handles non-divisible
+  batch sizes.
+
+* **Explicit SPMD** (:func:`shardmap_endpoint_rmse`): ``shard_map`` over
+  the 'data' axis with hand-written per-shard input slicing and an explicit
+  ``psum`` of squared-error partial sums — the fully explicit collective
+  path (useful as a cross-check and for custom communication later).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _sliding_scan(step: Callable, x0_batch, U, H: int, n_start: int, offset=0):
+    def body(carry, t):
+        u_t = jax.lax.dynamic_slice_in_dim(U, t + offset, n_start, axis=0)
+        return step(carry, u_t), None
+
+    carry, _ = jax.lax.scan(body, x0_batch, jnp.arange(H))
+    return carry
+
+
+def sharded_rollout_final(mesh: Mesh, step: Callable, x0_batch, U, T: int,
+                          data_axis: str = "data"):
+    """Advance a (B, n) batch T steps under shared inputs ``U`` (T, r),
+    batch sharded over the mesh; returns the final (B, n) batch."""
+    batch_sharding = NamedSharding(mesh, P(data_axis))
+    repl = NamedSharding(mesh, P())
+
+    @partial(jax.jit, static_argnums=(), in_shardings=(batch_sharding, repl),
+             out_shardings=batch_sharding)
+    def run(x0, U):
+        def body(carry, u):
+            return step(carry, u), None
+
+        carry, _ = jax.lax.scan(body, x0, U)
+        return carry
+
+    return run(x0_batch, U)
+
+
+def sharded_endpoint_rmse(mesh: Mesh, step: Callable, X, U, H: int,
+                          data_axis: str = "data"):
+    """Endpoint H-step RMSE with the start-index batch sharded over the mesh.
+
+    Same semantics as :func:`bluerov2_dynamics_tpu.eval.metrics.endpoint_rmse`;
+    X and U enter replicated, the in-flight (n_start, n) batch is sharded,
+    and XLA inserts the cross-device reduction for the mean.
+    """
+    N = X.shape[0]
+    n_start = N - H
+    repl = NamedSharding(mesh, P())
+    batch_sharding = NamedSharding(mesh, P(data_axis))
+
+    @partial(jax.jit, in_shardings=(repl, repl), out_shardings=repl)
+    def run(X, U):
+        x0 = jax.lax.with_sharding_constraint(X[:n_start], batch_sharding)
+        final = _sliding_scan(step, x0, U, H, n_start)
+        d = final - X[H:]
+        return jnp.sqrt(jnp.mean(d * d))
+
+    return run(X, U)
+
+
+def shardmap_endpoint_rmse(mesh: Mesh, step: Callable, X, U, H: int,
+                           data_axis: str = "data"):
+    """Explicit shard_map + psum version of the endpoint evaluator.
+
+    Requires ``(N - H) % mesh.shape[data_axis] == 0`` (explicit SPMD has
+    per-shard static shapes); each shard rolls its contiguous block of
+    starts using slices of the replicated input trajectory offset by its
+    position on the mesh axis, then the squared-error sums are psum'd.
+    """
+    from jax import shard_map
+
+    N, n = X.shape
+    n_start = N - H
+    n_dev = mesh.shape[data_axis]
+    if n_start % n_dev != 0:
+        raise ValueError(f"n_start={n_start} not divisible by mesh axis {n_dev}")
+    m = n_start // n_dev
+
+    def per_shard(x0_local, target_local, U_full):
+        offset = jax.lax.axis_index(data_axis) * m
+        final = _sliding_scan(step, x0_local, U_full, H, m, offset=offset)
+        d = final - target_local
+        sq = jnp.sum(d * d)
+        return jax.lax.psum(sq, data_axis)
+
+    fn = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(data_axis), P(data_axis), P()),
+        out_specs=P(),
+    )
+    sq_total = fn(X[:n_start], X[H:], U)
+    return jnp.sqrt(sq_total / (n_start * n))
