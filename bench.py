@@ -5,9 +5,11 @@ at ~851 steps/s on CPU (``training/best_results.txt:232-233``); the north
 star is >= 1e7 batched RK4 steps/s on a single v5e chip.
 
 The benchmarked step is the FULL flagship path per trajectory per step:
-T200 static curve -> third-order thruster lag (explicit state) -> wrench
-map -> closed-form Fossen hydrodynamics -> RK4 (4 RHS evaluations), as one
-``lax.scan`` over time in a single jitted call.
+T200 static curve -> third-order thruster lag -> wrench map -> closed-form
+Fossen hydrodynamics -> RK4 (4 RHS evaluations).  Primary path: the Pallas
+VMEM-resident rollout kernel (state never round-trips HBM during the T-step
+loop, ``bluerov2_dynamics_tpu/ops/pallas_rollout.py``); falls back to the
+pure-XLA ``lax.scan`` rollout if the kernel is unavailable on the platform.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -15,12 +17,41 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 BASELINE_STEPS_PER_SEC = 851.0  # reference CPU single-trajectory RK4
+
+
+def run_pallas(batch: int = 65536, T: int = 500, iters: int = 3,
+               method: str = "rk4", block_b: int = 1024):
+    from bluerov2_dynamics_tpu.models.params import (
+        fossen_params,
+        lag_params,
+        thruster_config,
+    )
+    from bluerov2_dynamics_tpu.ops.pallas_rollout import make_rollout_final_pallas
+
+    dt = 0.02
+    p = fossen_params()
+    cfg = thruster_config()
+    lag = lag_params(dt)
+    roll = make_rollout_final_pallas(p, cfg, lag, dt, method=method, block_b=block_b)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    x0 = 0.1 * jax.random.normal(k1, (batch, 12), jnp.float32)
+    U = jnp.clip(0.5 * jax.random.normal(k2, (T, 8), jnp.float32), -1.0, 1.0)
+
+    out = jax.block_until_ready(roll(x0, U))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = roll(x0, U)
+    jax.block_until_ready(out)
+    elapsed = (time.perf_counter() - t0) / iters
+    return batch * T / elapsed, elapsed
 
 
 def run(batch: int = 16384, T: int = 500, iters: int = 5, method: str = "rk4"):
@@ -64,7 +95,12 @@ def run(batch: int = 16384, T: int = 500, iters: int = 5, method: str = "rk4"):
 
 
 def main():
-    steps_per_sec, elapsed = run()
+    try:
+        steps_per_sec, elapsed = run_pallas()
+    except Exception as e:  # pragma: no cover - platform fallback
+        print(f"[warn] pallas path failed ({type(e).__name__}: {e}); "
+              "falling back to XLA scan", file=sys.stderr)
+        steps_per_sec, elapsed = run()
     print(
         json.dumps(
             {

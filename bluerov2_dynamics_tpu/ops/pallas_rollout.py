@@ -1,0 +1,221 @@
+"""Pallas TPU kernel: full multi-step Fossen rollout resident in VMEM.
+
+The XLA `lax.scan` rollout (bench.py) round-trips the state carry through
+HBM every step; at 12+24 floats per trajectory that carry traffic — not
+compute — bounds throughput.  This kernel keeps each trajectory's state in
+VMEM for the ENTIRE T-step rollout: HBM traffic is one read of x0 and one
+write of x_T per trajectory, plus the tiny shared input sequence.
+
+Scope: the shared-input batched rollout — exactly the shape of the
+reference's endpoint evaluator and simulation workloads (one recorded
+input trajectory driving many rollout starts,
+``train_tank_brov2_full_comparison.py:469-487``).  The thruster lag filter
+is driven by the shared inputs, so the per-step body wrench ``tau_seq``
+(T, 6) is precomputed exactly by the canonical lag scan and read from SMEM
+inside the kernel.
+
+All physical constants are baked into the kernel as compile-time floats;
+the loop body is pure VPU work on ``(12, BLOCK_B)`` tiles.  Parity with the
+canonical step is tested in tests/test_pallas_rollout.py (interpret mode on
+CPU, compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bluerov2_dynamics_tpu.models.params import FossenParams, LagParams, ThrusterConfig
+from bluerov2_dynamics_tpu.models.thrusters import lag_step, static_thrust, wrench_from_thrust
+
+
+def shared_tau_sequence(cfg: ThrusterConfig, lag: LagParams, U, use_lag: bool = True):
+    """Exact per-step body wrench for a shared command sequence ``U`` (T, 8).
+
+    One tiny ``lax.scan`` through the lag filter — identical numerics to
+    the per-step path inside ``make_thruster_step``.
+    """
+    if not use_lag:
+        return wrench_from_thrust(cfg, static_thrust(cfg, U))
+
+    def body(state, u8):
+        state, F = lag_step(lag, state, static_thrust(cfg, u8))
+        return state, wrench_from_thrust(cfg, F)
+
+    _, tau = jax.lax.scan(body, jnp.zeros((8, 3), U.dtype), U)
+    return tau
+
+
+def _scalar(x) -> float:
+    return float(jax.device_get(x))
+
+
+def _make_rhs_const(p: FossenParams):
+    """Closed-form euler12 RHS with all coefficients as Python floats.
+
+    Same math as ``fossen.wrench_rhs_euler`` restricted to zero current
+    (current support: fold the constant current into the kernel if needed).
+    Operates on ``x`` of shape (12, B) tiles; ``tau`` is six scalars.
+    """
+    mdiag = [_scalar(v) for v in p.mdiag]
+    minv = [_scalar(v) for v in p.minv]
+    added = [_scalar(v) for v in p.added]
+    gyro = [_scalar(v) for v in p.gyro]
+    d_lin = [_scalar(v) for v in p.d_lin]
+    d_quad = [_scalar(v) for v in p.d_quad]
+    W = _scalar(p.W)
+    Bf = _scalar(p.B)
+    xb, yb, zb = (_scalar(v) for v in p.cb)
+    WB = W - Bf
+    xbB, ybB, zbB = xb * Bf, yb * Bf, zb * Bf
+    Xud, Yvd, Zwd = added[0], added[1], added[2]
+
+    def rhs(x, tau):
+        phi, theta, psi = x[3], x[4], x[5]
+        u, v, w = x[6], x[7], x[8]
+        pp, q, r = x[9], x[10], x[11]
+
+        cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+        cth, sth = jnp.cos(theta), jnp.sin(theta)
+        cpsi, spsi = jnp.cos(psi), jnp.sin(psi)
+
+        r00 = cpsi * cth
+        r01 = -spsi * cphi + cpsi * sth * sphi
+        r02 = spsi * sphi + cpsi * cphi * sth
+        r10 = spsi * cth
+        r11 = cpsi * cphi + sphi * sth * spsi
+        r12 = -cpsi * sphi + sth * spsi * cphi
+        r21 = cth * sphi
+        r22 = cth * cphi
+
+        c0 = mdiag[2] * w * q - mdiag[1] * v * r
+        c1 = -mdiag[2] * w * pp + mdiag[0] * u * r
+        c2 = mdiag[1] * v * pp - mdiag[0] * u * q
+        c3 = gyro[0] * q * r + (Yvd - Zwd) * v * w
+        c4 = gyro[1] * pp * r + (Zwd - Xud) * u * w
+        c5 = gyro[2] * pp * q + (Xud - Yvd) * u * v
+
+        d0 = (d_lin[0] + d_quad[0] * jnp.abs(u)) * u
+        d1 = (d_lin[1] + d_quad[1] * jnp.abs(v)) * v
+        d2 = (d_lin[2] + d_quad[2] * jnp.abs(w)) * w
+        d3 = (d_lin[3] + d_quad[3] * jnp.abs(pp)) * pp
+        d4 = (d_lin[4] + d_quad[4] * jnp.abs(q)) * q
+        d5 = (d_lin[5] + d_quad[5] * jnp.abs(r)) * r
+
+        g0 = WB * sth
+        g1 = -WB * r21
+        g2 = -WB * r22
+        g3 = ybB * r22 - zbB * r21
+        g4 = -zbB * sth - xbB * r22
+        g5 = xbB * r21 + ybB * sth
+
+        nd0 = (tau[0] - c0 - d0 - g0) * minv[0]
+        nd1 = (tau[1] - c1 - d1 - g1) * minv[1]
+        nd2 = (tau[2] - c2 - d2 - g2) * minv[2]
+        nd3 = (tau[3] - c3 - d3 - g3) * minv[3]
+        nd4 = (tau[4] - c4 - d4 - g4) * minv[4]
+        nd5 = (tau[5] - c5 - d5 - g5) * minv[5]
+
+        px = r00 * u + r01 * v + r02 * w
+        py = r10 * u + r11 * v + r12 * w
+        pz = -sth * u + r21 * v + r22 * w
+
+        eps = 1e-7
+        sign = jnp.where(cth < 0.0, -1.0, 1.0)
+        cth_c = jnp.where(jnp.abs(cth) < eps, eps * sign, cth)
+        tth = sth / cth_c
+        dphi = pp + sphi * tth * q + cphi * tth * r
+        dtheta = cphi * q - sphi * r
+        dpsi = (sphi * q + cphi * r) / cth_c
+
+        return jnp.stack(
+            [px, py, pz, dphi, dtheta, dpsi, nd0, nd1, nd2, nd3, nd4, nd5]
+        )
+
+    return rhs
+
+
+def make_rollout_final_pallas(
+    p: FossenParams,
+    cfg: ThrusterConfig,
+    lag: LagParams,
+    dt: float,
+    method: str = "rk4",
+    block_b: int = 1024,
+    interpret: bool = False,
+    use_lag: bool = True,
+):
+    """Build a jitted ``fn(x0, U) -> xT`` VMEM-resident rollout.
+
+    ``x0``: ``(B, 12)`` (B divisible by ``block_b``); ``U``: ``(T, 8)``
+    shared commands.  The physical constants are extracted eagerly here
+    (compile-time floats), so the returned function is jit/trace-safe.
+    """
+    rhs = _make_rhs_const(p)
+
+    def kernel_factory(T):
+        def kernel(tau_ref, x_ref, out_ref):
+            x = x_ref[:]  # (12, block_b)
+
+            def body(t, x):
+                tau = tuple(tau_ref[t, j] for j in range(6))
+                if method == "euler":
+                    return x + dt * rhs(x, tau)
+                k1 = rhs(x, tau)
+                k2 = rhs(x + (0.5 * dt) * k1, tau)
+                k3 = rhs(x + (0.5 * dt) * k2, tau)
+                k4 = rhs(x + dt * k3, tau)
+                return x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+            out_ref[:] = jax.lax.fori_loop(0, T, body, x)
+
+        return kernel
+
+    @jax.jit
+    def fn(x0, U):
+        B = x0.shape[0]
+        T = U.shape[0]
+        assert B % block_b == 0, f"B={B} not divisible by block_b={block_b}"
+        tau_seq = shared_tau_sequence(cfg, lag, U.astype(jnp.float32), use_lag)
+        out = pl.pallas_call(
+            kernel_factory(T),
+            out_shape=jax.ShapeDtypeStruct((12, B), x0.dtype),
+            grid=(B // block_b,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # tau_seq (T, 6)
+                pl.BlockSpec(
+                    (12, block_b), lambda i: (0, i), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (12, block_b), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(tau_seq, x0.T)
+        return out.T
+
+    return fn
+
+
+def rollout_final_pallas(
+    p: FossenParams,
+    cfg: ThrusterConfig,
+    lag: LagParams,
+    x0,
+    U,
+    dt: float,
+    method: str = "rk4",
+    block_b: int = 1024,
+    interpret: bool = False,
+    use_lag: bool = True,
+):
+    """One-shot convenience wrapper around :func:`make_rollout_final_pallas`."""
+    fn = make_rollout_final_pallas(
+        p, cfg, lag, dt, method=method, block_b=block_b,
+        interpret=interpret, use_lag=use_lag,
+    )
+    return fn(x0, U)
