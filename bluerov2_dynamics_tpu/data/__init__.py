@@ -1,0 +1,22 @@
+"""Host-side data pipeline.
+
+CSV/rosbag decoding is inherently host work; the CSV column contract is the
+boundary between host and device (SURVEY.md §7).  Sub-modules:
+
+* :mod:`csv_loader` — dataset loaders for the three column contracts
+  (thruster u1..u8, wrench Fx..Mz, quaternion state).
+* :mod:`synthetic` — simulated-dataset generation (AR(1) thruster noise).
+* :mod:`wrench` — effectiveness-matrix wrench augmentation of thruster CSVs.
+* :mod:`sanity` — kinematic-consistency dataset checks.
+* :mod:`t200` — T200 thrust-curve polynomial fitting from bench-test tables.
+* :mod:`bag2csv` — rosbag2 -> 50 Hz CSV ingestion (requires the optional
+  ``rosbags`` package; gated).
+"""
+
+from bluerov2_dynamics_tpu.data.csv_loader import (  # noqa: F401
+    find_project_root,
+    find_latest_csv,
+    load_thruster_dataset,
+    load_wrench_dataset,
+    load_quat_dataset,
+)

@@ -1,0 +1,192 @@
+"""Data-pipeline tests: loaders, wrench augmentation, synthetic, sanity, T200."""
+
+import numpy as np
+import pandas as pd
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bluerov2_dynamics_tpu.data import csv_loader, sanity, synthetic, t200, wrench
+
+
+def _write_thruster_csv(path, N=50, rng=None, shuffle=False, with_nan=False):
+    rng = rng or np.random.default_rng(0)
+    t = np.arange(N) * 0.02
+    cols = {"t": t}
+    for c in csv_loader.EULER12_COLS:
+        cols[c] = rng.normal(size=N)
+    for c in csv_loader.THRUSTER_COLS:
+        cols[c] = np.clip(rng.normal(size=N), -1, 1)
+    df = pd.DataFrame(cols)
+    if with_nan:
+        df.loc[3, "x"] = np.inf
+        df.loc[7, "u"] = np.nan
+    if shuffle:
+        df = df.sample(frac=1.0, random_state=0)
+    df.to_csv(path, index=False)
+    return df
+
+
+def test_thruster_loader_contract(tmp_path, rng):
+    path = tmp_path / "koopman_dataset_50Hz.csv"
+    _write_thruster_csv(path, rng=rng, shuffle=True, with_nan=True)
+    ds = csv_loader.load_thruster_dataset(path, verbose=False)
+    assert ds.X.shape[1] == 12 and ds.U.shape[1] == 8
+    assert ds.X.shape[0] == 48  # two bad rows dropped
+    assert np.all(np.isfinite(ds.X))
+    assert np.all(np.diff(ds.t) > 0)  # sorted, deduped
+    np.testing.assert_allclose(ds.dt, 0.02, atol=1e-9)
+
+
+def test_loader_missing_inputs_zero_filled(tmp_path, rng):
+    path = tmp_path / "nostate.csv"
+    N = 20
+    cols = {"t": np.arange(N) * 0.05}
+    for c in csv_loader.EULER12_COLS:
+        cols[c] = rng.normal(size=N)
+    pd.DataFrame(cols).to_csv(path, index=False)
+    ds = csv_loader.load_wrench_dataset(path, verbose=False)
+    np.testing.assert_allclose(ds.U, 0.0)
+    # quat loader on a CSV with neither quaternion nor Euler columns
+    path2 = tmp_path / "noquat.csv"
+    cols2 = {k: v for k, v in cols.items() if k not in ("phi", "theta", "psi")}
+    pd.DataFrame(cols2).to_csv(path2, index=False)
+    with pytest.raises(ValueError, match="Missing state column"):
+        csv_loader.load_quat_dataset(path2, verbose=False)
+
+
+def test_quat_loader_auto_converts_euler(tmp_path, rng):
+    path = tmp_path / "legacy.csv"
+    N = 30
+    cols = {"t": np.arange(N) * 0.02}
+    for c in csv_loader.EULER12_COLS:
+        cols[c] = rng.normal(size=N) * 0.4
+    for c in csv_loader.WRENCH_COLS:
+        cols[c] = rng.normal(size=N)
+    pd.DataFrame(cols).to_csv(path, index=False)
+    ds = csv_loader.load_quat_dataset(path, verbose=False)
+    assert ds.X.shape == (N, 13)
+    norms = np.linalg.norm(ds.X[:, 3:7], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-12)
+    # quaternion must match the ops euler_to_quat conversion
+    from bluerov2_dynamics_tpu.ops import euler_to_quat
+
+    df = pd.read_csv(path)
+    q = np.asarray(
+        euler_to_quat(
+            jnp.asarray(df["phi"]), jnp.asarray(df["theta"]), jnp.asarray(df["psi"])
+        )
+    )
+    np.testing.assert_allclose(ds.X[:, 3:7], q, atol=1e-12)
+
+
+def test_find_latest_and_root(tmp_path):
+    (tmp_path / "rosbags" / "sub").mkdir(parents=True)
+    older = tmp_path / "rosbags" / "data.csv"
+    newer = tmp_path / "rosbags" / "sub" / "data.csv"
+    older.write_text("t\n0\n")
+    newer.write_text("t\n0\n")
+    import os, time
+
+    t_now = time.time()
+    os.utime(older, (t_now - 100, t_now - 100))
+    os.utime(newer, (t_now, t_now))
+    assert csv_loader.find_latest_csv(tmp_path, "data.csv") == newer
+    assert csv_loader.find_project_root(tmp_path / "rosbags" / "sub") == tmp_path
+
+
+def test_train_test_split():
+    ds = csv_loader.Dataset(
+        X=np.arange(100)[:, None].astype(float),
+        U=np.zeros((100, 1)),
+        t=np.arange(100.0),
+        dt=1.0,
+    )
+    tr, te = csv_loader.train_test_split(ds, 0.8)
+    assert len(tr.X) == 80 and te.X[0, 0] == 80
+    tr, te = csv_loader.train_test_split(ds, 0.8, causal_overlap=True)
+    assert te.X[0, 0] == 79  # reference's split-1 convention
+
+
+def test_wrench_effectiveness_matrix(rng):
+    E = wrench.effectiveness_matrix()
+    assert E.shape == (6, 8)
+    # axes normalized: columns' force block has unit norm
+    np.testing.assert_allclose(np.linalg.norm(E[0:3], axis=0), 1.0)
+    # vertical thrusters produce no x/y force
+    np.testing.assert_allclose(E[0:2, 4:], 0.0)
+    # oracle: manual per-rotor loop
+    U = rng.normal(size=(10, 8))
+    W = wrench.thrusters_to_wrench(U)
+    for k in range(10):
+        tau = np.zeros(6)
+        for i, (axis, pos) in enumerate(wrench.ROTOR_TABLE):
+            a = np.asarray(axis, float)
+            a = a / np.linalg.norm(a)
+            tau[:3] += U[k, i] * a
+            tau[3:] += U[k, i] * np.cross(np.asarray(pos, float), a)
+        np.testing.assert_allclose(W[k], tau, atol=1e-12)
+
+
+def test_wrench_augment_csv_roundtrip(tmp_path, rng):
+    path = tmp_path / "ds.csv"
+    _write_thruster_csv(path, rng=rng)
+    out = wrench.augment_csv(path)
+    df = pd.read_csv(out)
+    for c in ["Fx", "Fy", "Fz", "Mx", "My", "Mz"]:
+        assert c in df.columns
+    assert "u1" not in df.columns
+    # setpoint-compatible naming mode
+    out2 = wrench.augment_csv(path, tmp_path / "sp.csv", setpoint_names=True)
+    df2 = pd.read_csv(out2)
+    assert "Fx_sp" in df2.columns and "Tz_sp" in df2.columns
+    np.testing.assert_allclose(df["Fx"], df2["Fx_sp"])
+
+
+def test_synthetic_dataset(rng):
+    ds = synthetic.generate_sim_dataset(jax.random.PRNGKey(0), n_steps=500, dt=0.05)
+    assert ds.X.shape == (500, 12) and ds.U.shape == (500, 8)
+    assert np.all(np.isfinite(np.asarray(ds.X)))
+    assert np.max(np.abs(np.asarray(ds.U))) <= 1.0
+    # noise is small but nonzero
+    d = np.asarray(ds.X) - np.asarray(ds.X_true)
+    assert 0 < np.abs(d).max() < 0.05
+    # AR(1) inputs are smooth: successive diffs bounded by the noise scale
+    du = np.diff(np.asarray(ds.U), axis=0)
+    assert np.abs(du).max() < 0.2
+
+
+def test_sanity_checks_on_consistent_data(rng):
+    """Synthetic physics data must pass the kinematic-consistency check."""
+    ds = synthetic.generate_sim_dataset(
+        jax.random.PRNGKey(1), n_steps=2000, dt=0.02,
+        pos_noise=0.0, ang_noise=0.0, vel_noise=0.0, angvel_noise=0.0,
+    )
+    loader_ds = csv_loader.Dataset(
+        X=np.asarray(ds.X), U=np.asarray(ds.U),
+        t=np.arange(2000) * 0.02, dt=0.02,
+    )
+    res = sanity.run_all(loader_ds, verbose=False)
+    assert res["kinematic"]["corr"] > 0.99
+    assert res["kinematic"]["rmse"] < 0.05
+    assert res["actuator_corrs"].shape == (8,)
+
+
+def test_t200_fit_recovers_polynomial(rng):
+    """Data generated from a known piecewise polynomial is recovered."""
+    # a0 = 0 keeps the piecewise curve continuous at u = 0 (a shared point
+    # of both fit domains)
+    true_pos = np.array([0.0, 30.0, 5.0, -2.0, 0.5, 1.0])
+    true_neg = np.array([0.0, 25.0, 3.0, -1.0, 0.2, 0.4])
+    pwm = np.linspace(1100, 1900, 161)
+    u = t200.pwm_to_u(pwm)
+    thrust_N = np.where(
+        u >= 0,
+        t200.eval_poly_asc(true_pos, u),
+        -t200.eval_poly_asc(true_neg, -u),
+    )
+    fit = t200.fit_forward_reverse(pwm, thrust_N / t200.G0)
+    np.testing.assert_allclose(fit.pos_coeff, true_pos, atol=1e-6)
+    np.testing.assert_allclose(fit.neg_coeff, true_neg, atol=1e-6)
+    # piecewise evaluation matches
+    np.testing.assert_allclose(t200.eval_piecewise(fit, u), thrust_N, atol=1e-6)
