@@ -1,0 +1,122 @@
+"""Shared app infrastructure: arguments, datasets, timed metric tables.
+
+Replaces the per-script duplicated helpers of the reference training code
+(SURVEY.md T7) with one implementation.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Callable, Dict, List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from bluerov2_dynamics_tpu.data import csv_loader
+from bluerov2_dynamics_tpu.eval.timing import time_fn
+from bluerov2_dynamics_tpu.utils.log import info, ok
+
+HORIZONS = (1, 10, 100)
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=description)
+    ap.add_argument("--csv", type=str, default=None,
+                    help="dataset CSV; omit with --synthetic")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="generate a simulated dataset instead of loading a CSV")
+    ap.add_argument("--steps", type=int, default=20_000,
+                    help="synthetic dataset length")
+    ap.add_argument("--dt", type=float, default=0.02,
+                    help="synthetic dataset sample period")
+    ap.add_argument("--train-split", type=float, default=0.8)
+    ap.add_argument("--open-loop-steps", type=int, default=500)
+    ap.add_argument("--media-dir", type=str, default="media")
+    ap.add_argument("--no-media", action="store_true",
+                    help="skip animations/figures")
+    ap.add_argument("--n-rbfs", type=int, default=500)
+    ap.add_argument("--gamma", type=float, default=3.0)
+    ap.add_argument("--ridge", type=float, default=1e-1)
+    ap.add_argument("--seed", type=int, default=0)
+    return ap
+
+
+def load_or_generate(args, loader: Callable = csv_loader.load_thruster_dataset):
+    """Load the CSV named by --csv (or discovered), or generate synthetic."""
+    if args.synthetic or args.csv is None:
+        import jax
+
+        from bluerov2_dynamics_tpu.data.synthetic import generate_sim_dataset
+
+        info(f"Generating synthetic dataset: {args.steps} steps @ dt={args.dt}")
+        sim = generate_sim_dataset(
+            jax.random.PRNGKey(args.seed), n_steps=args.steps, dt=args.dt
+        )
+        return csv_loader.Dataset(
+            X=np.asarray(sim.X, np.float64),
+            U=np.asarray(sim.U, np.float64),
+            t=np.arange(args.steps) * args.dt,
+            dt=args.dt,
+        )
+    return loader(args.csv)
+
+
+def timed_metric_table(
+    evaluators: Dict[str, Callable[[int], float]],
+    horizons: Sequence[int] = HORIZONS,
+):
+    """Evaluate every model at every horizon with timings; print the tables
+    in the reference's format (``train_tank_brov2_full_comparison.py:996-1009``).
+
+    ``evaluators``: name -> fn(H) returning the endpoint RMSE (jittable).
+    Returns ``(rmse[name][H], seconds[name][H])``.
+    """
+    rmses: Dict[str, Dict[int, float]] = {}
+    times: Dict[str, Dict[int, float]] = {}
+    for name, fn in evaluators.items():
+        rmses[name], times[name] = {}, {}
+        for H in horizons:
+            val, dt_s = time_fn(fn, H, warmup=1, iters=1)
+            rmses[name][H] = float(val)
+            times[name][H] = dt_s
+
+    names = list(evaluators)
+    print("\n[metrics] Endpoint RMSE (identical evaluator):")
+    header = "  Model                 |" + "|".join(
+        f" {('%d-step RMSE' % H):>13} " for H in horizons
+    )
+    print(header)
+    print("  " + "-" * (len(header) - 2))
+    for n in names:
+        row = f"  {n:<21} |" + "|".join(
+            f" {rmses[n][H]:>13.6f} " for H in horizons
+        )
+        print(row)
+
+    print("\n[timings] Metric evaluation time (s, jit-compiled, after warmup):")
+    for n in names:
+        row = f"  {n:<21} |" + "|".join(
+            f" {times[n][H]:>13.4f} " for H in horizons
+        )
+        print(row)
+    return rmses, times
+
+
+def print_rollout_timings(timings: Dict[str, float]):
+    print("\n[timings] Open-loop rollout time:")
+    print("  Model                 | Rollout time [s]")
+    print("  ----------------------|-----------------:")
+    for n, t in timings.items():
+        print(f"  {n:<21} | {t:16.6f}")
+
+
+def open_loop_window(X_test: np.ndarray, horizon: int):
+    """Start index + horizon for the demo rollout
+    (``train_tank_brov2_full_comparison.py:1014-1017``)."""
+    horizon = min(horizon, len(X_test) - 1)
+    start = int(0.4 * (len(X_test) - horizon))
+    return start, horizon
+
+
+def summarize_fit(name: str, seconds: float):
+    ok(f"{name} fitted. (fit time = {seconds:.3f} s)")

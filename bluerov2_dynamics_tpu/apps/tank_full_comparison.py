@@ -1,0 +1,151 @@
+"""Flagship comparison (T6): Koopman + Fossen + DI + PINc, fully timed.
+
+Rebuild of ``/root/reference/training/train_tank_brov2_full_comparison.py``:
+four models on the thruster-input tank dataset, timed fit / H=1,10,100
+metrics / open-loop rollouts, multi-panel animation and 2D figure.  PINc
+weights are checkpointed (msgpack); training is skipped when the
+checkpoint exists, matching the reference's flow
+(``train_tank_brov2_full_comparison.py:944-969``).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bluerov2_dynamics_tpu.apps import common
+from bluerov2_dynamics_tpu.apps.tank_koopman import fossen_evaluator
+from bluerov2_dynamics_tpu.data import csv_loader
+from bluerov2_dynamics_tpu.eval import metrics
+from bluerov2_dynamics_tpu.eval.timing import time_fn
+from bluerov2_dynamics_tpu.models import di, fossen, koopman, pinc
+from bluerov2_dynamics_tpu.models.params import fossen_params, lag_params, thruster_config
+from bluerov2_dynamics_tpu.ops.integrators import rollout
+from bluerov2_dynamics_tpu.utils.checkpoint import load_pytree, save_pytree
+from bluerov2_dynamics_tpu.utils.log import info, ok
+
+
+def main(argv=None):
+    ap = common.base_parser(__doc__)
+    ap.add_argument("--pinc-epochs", type=int, default=200)
+    ap.add_argument("--pinc-ckpt", type=str, default="models/pinc_best.msgpack")
+    ap.add_argument("--pinc-hidden", type=int, nargs="+", default=[64, 64, 64, 64])
+    ap.add_argument("--integrator", choices=["euler", "rk4"], default="euler")
+    args = ap.parse_args(argv)
+
+    ds = common.load_or_generate(args, csv_loader.load_thruster_dataset)
+    train, test = csv_loader.train_test_split(ds, args.train_split)
+    info(f"Train: {len(train.X)} | Test: {len(test.X)}")
+    dt = float(ds.dt)
+
+    X_tr = jnp.asarray(train.X, jnp.float32)
+    U_tr = jnp.asarray(train.U, jnp.float32)
+    X_te = jnp.asarray(test.X, jnp.float32)
+    U_te = jnp.asarray(test.U, jnp.float32)
+
+    # ---------------- fits (timed) ----------------
+    model, t_koop = time_fn(
+        lambda: koopman.fit(
+            jax.random.PRNGKey(args.seed), X_tr, U_tr,
+            n_rbfs=args.n_rbfs, gamma=args.gamma, ridge=args.ridge,
+        ),
+        warmup=0,
+    )
+    common.summarize_fit("Koopman", t_koop)
+
+    gains, t_di = time_fn(
+        lambda: di.estimate_gains(X_tr, U_tr, dt, ridge=1e-3), warmup=0
+    )
+    common.summarize_fit("Double Integrator", t_di)
+
+    cfg = thruster_config()
+    lag = lag_params(dt)
+    hidden = tuple(args.pinc_hidden)
+    ckpt = Path(args.pinc_ckpt)
+    net, params0 = pinc.init_params(jax.random.PRNGKey(args.seed + 1), hidden)
+    if ckpt.exists():
+        info(f"Loading PINc checkpoint: {ckpt}")
+        params = load_pytree(ckpt, params0)
+        t_pinc = 0.0
+    else:
+        info("Training PINc (no checkpoint found).")
+        data = pinc.make_dataset(X_tr, U_tr, dt, cfg, lag)
+        tc = pinc.TrainConfig(epochs=args.pinc_epochs)
+
+        def train_pinc():
+            return pinc.train(jax.random.PRNGKey(args.seed + 1), data, tc, hidden)
+
+        (net, params, _hist), t_pinc = time_fn(train_pinc, warmup=0)
+        save_pytree(ckpt, params)
+        ok(f"Saved PINc checkpoint -> {ckpt}")
+    ok(f"PINc ready. (fit/load time = {t_pinc:.3f} s)")
+
+    print("\n[timings] Train/Fit (s): "
+          f"Koopman {t_koop:.4f} | Fossen 0.0000 | DI {t_di:.4f} | PINc {t_pinc:.4f}")
+
+    # ---------------- metrics ----------------
+    U4_te = pinc.wrench4_from_thrusters(cfg, lag, U_te)
+    evaluators = {
+        "Koopman": lambda H: koopman.multistep_rmse(model, X_te, U_te, H),
+        "Fossen (BlueROV2)": fossen_evaluator(dt, X_te, U_te, method=args.integrator),
+        "Double Integrator": lambda H: metrics.endpoint_rmse(
+            di.make_step_euler12(gains, dt)
+            if args.integrator == "euler"
+            else di.make_step_euler12_rk4(gains, dt),
+            X_te, U_te, H,
+        ),
+        "PINc (ResDNN)": lambda H: pinc.endpoint_rmse(net, params, X_te, U4_te, dt, H),
+    }
+    rmses, _times = common.timed_metric_table(evaluators)
+
+    # ---------------- open-loop rollouts (timed) ----------------
+    start, horizon = common.open_loop_window(test.X, args.open_loop_steps)
+    x0 = X_te[start]
+    U_seq = U_te[start : start + horizon]
+
+    predK, tK = time_fn(lambda: koopman.simulate(model, x0, U_seq))
+    p = fossen_params()
+    predF, tF = time_fn(
+        lambda: fossen.simulate_thruster(
+            p, cfg, lag, x0, U_seq, dt, method=args.integrator
+        )
+    )
+    di_variant = "euler12" if args.integrator == "euler" else "euler12_rk4"
+    predD, tD = time_fn(lambda: di.simulate(gains, x0, U_seq, dt, variant=di_variant))
+    predP, tP = time_fn(
+        lambda: pinc.simulate(net, params, x0, U4_te[start : start + horizon], dt)
+    )
+    common.print_rollout_timings(
+        {"Koopman": tK, "Fossen (BlueROV2)": tF, "Double Integrator": tD,
+         "PINc (ResDNN)": tP}
+    )
+
+    true = test.X[start : start + horizon + 1]
+    trajs = {
+        "TRUE (Recorded)": true,
+        "KOOPMAN": np.asarray(predK),
+        "FOSSEN (BlueROV2)": np.asarray(predF),
+        "DOUBLE INTEGRATOR": np.asarray(predD),
+        "PINc (ResDNN)": np.asarray(predP),
+    }
+    if not args.no_media:
+        from bluerov2_dynamics_tpu.viz import animate_topdown, plot_topdown_with_depth
+
+        animate_topdown(
+            trajs, dt=dt,
+            save_path=f"{args.media_dir}/tank_true_vs_4models.gif",
+            title="Recorded data: True vs. Koopman / Fossen / DI / PINc",
+        )
+        plot_topdown_with_depth(
+            {k: v for k, v in trajs.items() if "PINc" not in k},
+            dt=dt, seconds=10.0,
+            save_path=f"{args.media_dir}/tank_true_vs_4models_2D.png",
+        )
+    return {"rmses": rmses, "trajs": trajs}
+
+
+if __name__ == "__main__":
+    main()

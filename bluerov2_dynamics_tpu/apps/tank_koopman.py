@@ -1,0 +1,91 @@
+"""Tank workload (T2): Koopman identification on a recorded tank dataset.
+
+Rebuild of ``/root/reference/training/train_tank_brov2_koopmanEDMDc.py``:
+load the 50 Hz tank CSV (thruster contract), fit Koopman with 500 RBFs /
+gamma=3 / ridge=0.1, report endpoint RMSE at H = 1/10/100, render a
+500-step open-loop GIF.  ``--physics-baseline`` additionally evaluates the
+Fossen model through the identical evaluator (present but unused in the
+reference's main, ``train_tank_brov2_koopmanEDMDc.py:222-283``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bluerov2_dynamics_tpu.apps import common
+from bluerov2_dynamics_tpu.data import csv_loader
+from bluerov2_dynamics_tpu.eval import metrics
+from bluerov2_dynamics_tpu.models import fossen, koopman
+from bluerov2_dynamics_tpu.models.params import fossen_params, lag_params, thruster_config
+from bluerov2_dynamics_tpu.utils.log import info, ok
+
+
+def fossen_evaluator(dt, X_test, U_test, method="euler"):
+    """fn(H) -> endpoint RMSE of the full thruster-input physics model."""
+    p = fossen_params()
+    cfg = thruster_config()
+    lag = lag_params(dt)
+    step = fossen.make_thruster_step(p, cfg, lag, dt, method=method)
+
+    def run(H: int):
+        return metrics.endpoint_rmse_carry(
+            step,
+            lambda x: jnp.zeros((*x.shape[:-1], 8, 3), x.dtype),
+            X_test, U_test, H,
+        )
+
+    return run
+
+
+def main(argv=None):
+    ap = common.base_parser(__doc__)
+    ap.add_argument("--physics-baseline", action="store_true")
+    args = ap.parse_args(argv)
+
+    ds = common.load_or_generate(args, csv_loader.load_thruster_dataset)
+    train, test = csv_loader.train_test_split(ds, args.train_split)
+    info(f"Train: {len(train.X)} | Test: {len(test.X)}")
+
+    from bluerov2_dynamics_tpu.eval.timing import time_fn
+
+    fit = lambda: koopman.fit(
+        jax.random.PRNGKey(args.seed),
+        jnp.asarray(train.X, jnp.float32), jnp.asarray(train.U, jnp.float32),
+        n_rbfs=args.n_rbfs, gamma=args.gamma, ridge=args.ridge,
+    )
+    model, t_fit = time_fn(fit, warmup=0, iters=1)
+    common.summarize_fit("Koopman", t_fit)
+
+    X_test = jnp.asarray(test.X, jnp.float32)
+    U_test = jnp.asarray(test.U, jnp.float32)
+    evaluators = {
+        "Koopman": lambda H: koopman.multistep_rmse(model, X_test, U_test, H),
+    }
+    if args.physics_baseline:
+        evaluators["Fossen (BlueROV2)"] = fossen_evaluator(
+            float(ds.dt), jnp.asarray(test.X), jnp.asarray(test.U)
+        )
+    common.timed_metric_table(evaluators)
+
+    start, horizon = common.open_loop_window(test.X, args.open_loop_steps)
+    pred = np.asarray(
+        koopman.simulate(model, X_test[start], U_test[start : start + horizon])
+    )
+    true = test.X[start : start + horizon + 1]
+    if not args.no_media:
+        from bluerov2_dynamics_tpu.viz import animate_topdown
+
+        animate_topdown(
+            {"TRUE (Recorded)": true, "KOOPMAN": pred},
+            dt=float(ds.dt),
+            save_path=f"{args.media_dir}/tank_true_vs_koopman.gif",
+            title="Tank recording: True vs. Koopman (top view)",
+        )
+    ok("done")
+    return {"pred": pred, "true": true}
+
+
+if __name__ == "__main__":
+    main()

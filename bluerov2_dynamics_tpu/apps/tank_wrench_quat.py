@@ -1,0 +1,119 @@
+"""Quaternion workload (T4): Koopman vs quat-Fossen vs quat-DI.
+
+Rebuild of ``/root/reference/training/train_tank_brov2_wrench_quat.py``:
+13-state quaternion dataset (legacy Euler CSVs auto-converted), Koopman
+(13, 6), the quaternion wrench-input Fossen model
+(``fossen/BlueROV2_wrench.py``) with per-step quaternion renormalization,
+and the quaternion double integrator; identical endpoint evaluator.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bluerov2_dynamics_tpu.apps import common
+from bluerov2_dynamics_tpu.data import csv_loader
+from bluerov2_dynamics_tpu.eval import metrics
+from bluerov2_dynamics_tpu.eval.timing import time_fn
+from bluerov2_dynamics_tpu.models import di, fossen, koopman
+from bluerov2_dynamics_tpu.models.params import fossen_params
+from bluerov2_dynamics_tpu.ops.integrators import rollout
+from bluerov2_dynamics_tpu.utils.log import info
+
+
+def synthetic_quat_dataset(args) -> csv_loader.Dataset:
+    """Synthetic fallback: euler12 simulation converted to quat13 + wrench."""
+    from bluerov2_dynamics_tpu.data.wrench import thrusters_to_wrench
+    from bluerov2_dynamics_tpu.data.csv_loader import euler_to_quat_np
+
+    ds = common.load_or_generate(args, csv_loader.load_thruster_dataset)
+    q = euler_to_quat_np(ds.X[:, 3], ds.X[:, 4], ds.X[:, 5])
+    X13 = np.concatenate([ds.X[:, 0:3], q, ds.X[:, 6:12]], axis=1)
+    return csv_loader.Dataset(X=X13, U=thrusters_to_wrench(ds.U), t=ds.t, dt=ds.dt)
+
+
+def main(argv=None):
+    ap = common.base_parser(__doc__)
+    args = ap.parse_args(argv)
+
+    if args.synthetic or args.csv is None:
+        ds = synthetic_quat_dataset(args)
+    else:
+        ds = csv_loader.load_quat_dataset(args.csv)
+    train, test = csv_loader.train_test_split(ds, args.train_split)
+    info(f"Train: {len(train.X)} | Test: {len(test.X)}")
+    dt = float(ds.dt)
+
+    X_tr = jnp.asarray(train.X, jnp.float32)
+    U_tr = jnp.asarray(train.U, jnp.float32)
+    X_te = jnp.asarray(test.X, jnp.float32)
+    U_te = jnp.asarray(test.U, jnp.float32)
+
+    model, t_koop = time_fn(
+        lambda: koopman.fit(
+            jax.random.PRNGKey(args.seed), X_tr, U_tr,
+            n_rbfs=args.n_rbfs, gamma=args.gamma, ridge=args.ridge,
+        ),
+        warmup=0,
+    )
+    common.summarize_fit("Koopman (quat)", t_koop)
+    gains, t_di = time_fn(lambda: di.estimate_gains(X_tr, U_tr, dt), warmup=0)
+    common.summarize_fit("Double Integrator (quat)", t_di)
+
+    p = fossen_params()
+    fossen_step = fossen.make_wrench_step(p, dt, method="euler", state="quat13")
+    di_step = di.make_step_quat13(gains, dt)
+
+    def koopman_eval(H: int):
+        # the reference renormalizes the quaternion block of Koopman
+        # predictions before scoring (train_tank_brov2_wrench_quat.py:466-467)
+        N = X_te.shape[0]
+        n_start = N - H
+        Z = koopman.lift(model, X_te[:n_start])
+
+        def body(Z, t):
+            u_t = jax.lax.dynamic_slice_in_dim(U_te, t, n_start, axis=0)
+            return Z @ model.A.T + u_t @ model.B.T, None
+
+        Z, _ = jax.lax.scan(body, Z, jnp.arange(H))
+        pred = fossen.renormalize_quat13(koopman.decode(model, Z))
+        return metrics.rmse(X_te[H:], pred)
+
+    common.timed_metric_table(
+        {
+            "Koopman (quat)": koopman_eval,
+            "Fossen (quat)": lambda H: metrics.endpoint_rmse(fossen_step, X_te, U_te, H),
+            "DI (quat)": lambda H: metrics.endpoint_rmse(di_step, X_te, U_te, H),
+        }
+    )
+
+    start, horizon = common.open_loop_window(test.X, args.open_loop_steps)
+    x0 = X_te[start]
+    U_seq = U_te[start : start + horizon]
+    predK = np.asarray(koopman.simulate(model, x0, U_seq))
+    _, predF = rollout(fossen_step, x0, U_seq, include_initial=True)
+    _, predD = rollout(di_step, x0, U_seq, include_initial=True)
+    true = test.X[start : start + horizon + 1]
+
+    if not args.no_media:
+        from bluerov2_dynamics_tpu.viz import animate_topdown
+
+        animate_topdown(
+            {
+                "TRUE (Recorded)": true,
+                "KOOPMAN (quat)": predK,
+                "FOSSEN (quat)": np.asarray(predF),
+                "DI (quat)": np.asarray(predD),
+            },
+            dt=dt,
+            save_path=f"{args.media_dir}/tank_wrench_quat_comparison.gif",
+            title="Quaternion state: True vs. Koopman / Fossen / DI",
+            ncols=2,
+        )
+    return {"koopman": predK, "fossen": np.asarray(predF), "di": np.asarray(predD)}
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Static publication figures (host-side matplotlib).
+
+Generic version of the reference's LaTeX 2D figure
+(``plot_2d_trajectories_with_depth``,
+``train_tank_brov2_full_comparison.py:260-447``): x-y trajectories with
+constant per-model line colors, discrete time-synchronized markers
+(shared viridis color per time slice across all trajectories, with a tick
+colorbar), end-of-trajectory heading arrows, and a depth/time textbox.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from bluerov2_dynamics_tpu.viz.animate import _yaw_of
+
+_STYLES = ["-", "--", "-.", ":", "-."]
+
+
+def plot_topdown_with_depth(
+    trajs: Dict[str, np.ndarray],
+    dt: float,
+    seconds: float,
+    save_path: str = "media/topdown_2d.png",
+    marker_step_seconds: float = 1.0,
+    marker_cmap: str = "viridis",
+    dpi: int = 300,
+):
+    """Plot the first ~``seconds`` of each trajectory in the x-y plane."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.cm import ScalarMappable
+    from matplotlib.colors import BoundaryNorm
+    from matplotlib.lines import Line2D
+
+    names = list(trajs)
+    arrays = [np.asarray(trajs[n]) for n in names]
+    horizon = min(
+        int(seconds / max(dt, 1e-9)), *[a.shape[0] for a in arrays]
+    )
+    if horizon < 2:
+        print("[warn] Not enough steps for 2D plot.")
+        return None
+    arrays = [a[:horizon] for a in arrays]
+
+    fig, ax = plt.subplots(figsize=(7, 5), dpi=dpi)
+    lines = []
+    for i, (name, a) in enumerate(zip(names, arrays)):
+        (ln,) = ax.plot(
+            a[:, 0], a[:, 1], label=name,
+            linestyle=_STYLES[i % len(_STYLES)], linewidth=2.5,
+        )
+        lines.append(ln)
+    colors = [ln.get_color() for ln in lines]
+
+    # time-synchronized discrete markers + colorbar
+    if marker_step_seconds > 0:
+        step = max(1, int(round(marker_step_seconds / max(dt, 1e-9))))
+        idx = np.arange(0, horizon, step)
+        n_m = len(idx)
+        cmap = plt.get_cmap(marker_cmap, n_m)
+        mcolors = cmap(np.arange(n_m))
+        for a in arrays:
+            ax.scatter(a[idx, 0], a[idx, 1], c=mcolors, s=18,
+                       edgecolors="none", zorder=4)
+        norm = BoundaryNorm(np.arange(-0.5, n_m + 0.5), ncolors=n_m)
+        sm = ScalarMappable(norm=norm, cmap=cmap)
+        sm.set_array([])
+        cbar = fig.colorbar(sm, ax=ax, pad=0.02)
+        cbar.set_label("time [s]", fontsize=9)
+        cbar.set_ticks(np.arange(n_m))
+        cbar.set_ticklabels([f"{t * dt:.0f}" for t in idx])
+        cbar.ax.tick_params(labelsize=8)
+
+    # heading arrows at trajectory ends
+    xs = np.concatenate([a[:, 0] for a in arrays])
+    ys = np.concatenate([a[:, 1] for a in arrays])
+    head = 0.07 * max(1e-6, max(xs.max() - xs.min(), ys.max() - ys.min()))
+    for a, color in zip(arrays, colors):
+        yaw = float(_yaw_of(a)[-1])
+        ax.annotate(
+            "",
+            xy=(a[-1, 0] + head * math.cos(yaw), a[-1, 1] + head * math.sin(yaw)),
+            xytext=(a[-1, 0], a[-1, 1]),
+            arrowprops=dict(arrowstyle="->", lw=2.0, color=color),
+        )
+
+    # depth/time textbox
+    text = [f"t ≈ {(horizon - 1) * dt:5.2f} s"] + [
+        f"z_{n} = {a[-1, 2]:.2f} m" for n, a in zip(names, arrays)
+    ]
+    ax.text(
+        0.98, 0.02, "\n".join(text), transform=ax.transAxes,
+        va="bottom", ha="right", fontsize=9,
+        bbox=dict(boxstyle="round", alpha=0.25),
+    )
+
+    ax.set_xlabel("x [m]", fontsize=11)
+    ax.set_ylabel("y [m]", fontsize=11)
+    ax.set_title(f"Open-loop rollout (~{seconds:.1f}s, top view)", fontsize=12)
+    ax.set_aspect("equal", adjustable="box")
+    ax.grid(True, alpha=0.3)
+    ax.legend(
+        handles=[
+            Line2D([0], [0], color=c, linestyle=_STYLES[i % len(_STYLES)],
+                   linewidth=2.5, label=n)
+            for i, (n, c) in enumerate(zip(names, colors))
+        ],
+        loc="upper left", fontsize=10,
+    )
+    fig.tight_layout()
+    Path(save_path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(save_path, dpi=dpi, bbox_inches="tight")
+    plt.close(fig)
+    print(f"[ok] 2D trajectory figure saved -> {save_path}")
+    return save_path

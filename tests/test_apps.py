@@ -1,0 +1,113 @@
+"""End-to-end smoke tests: every workload app runs on small synthetic data."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _args(tmp_path, extra=()):
+    return [
+        "--synthetic", "--steps", "600", "--dt", "0.02",
+        "--n-rbfs", "30", "--gamma", "1.0", "--ridge", "1e-3",
+        "--open-loop-steps", "50",
+        "--media-dir", str(tmp_path / "media"),
+        "--no-media",
+        *extra,
+    ]
+
+
+def test_sim_koopman_app(tmp_path, capsys):
+    from bluerov2_dynamics_tpu.apps import sim_koopman
+
+    out = sim_koopman.main(
+        ["--steps", "800", "--dt", "0.05", "--n-rbfs", "30",
+         "--demo-steps", "40", "--no-media",
+         "--media-dir", str(tmp_path / "media")]
+    )
+    assert out["pred"].shape == out["true"].shape
+    assert np.all(np.isfinite(out["pred"]))
+    assert "One-step RMSE" in capsys.readouterr().out
+
+
+def test_tank_koopman_app(tmp_path, capsys):
+    from bluerov2_dynamics_tpu.apps import tank_koopman
+
+    out = tank_koopman.main(_args(tmp_path, ["--physics-baseline"]))
+    assert np.all(np.isfinite(out["pred"]))
+    text = capsys.readouterr().out
+    assert "Koopman" in text and "Fossen" in text
+
+
+def test_tank_wrench_comp_app(tmp_path, capsys):
+    from bluerov2_dynamics_tpu.apps import tank_wrench_comp
+
+    out = tank_wrench_comp.main(_args(tmp_path))
+    for k in ("koopman", "fossen", "di"):
+        assert np.all(np.isfinite(out[k])), k
+    assert "Fossen (wrench)" in capsys.readouterr().out
+
+
+def test_tank_wrench_quat_app(tmp_path, capsys):
+    from bluerov2_dynamics_tpu.apps import tank_wrench_quat
+
+    out = tank_wrench_quat.main(_args(tmp_path))
+    for k in ("koopman", "fossen", "di"):
+        assert np.all(np.isfinite(out[k])), k
+    # quaternion norms along the Fossen rollout
+    norms = np.linalg.norm(out["fossen"][:, 3:7], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+@pytest.mark.parametrize("integrator", ["euler", "rk4"])
+def test_tank_full_comparison_app(tmp_path, capsys, integrator):
+    from bluerov2_dynamics_tpu.apps import tank_full_comparison
+
+    ckpt = tmp_path / "pinc.msgpack"
+    out = tank_full_comparison.main(
+        _args(tmp_path, [
+            "--pinc-epochs", "3",
+            "--pinc-hidden", "16", "16",
+            "--pinc-ckpt", str(ckpt),
+            "--integrator", integrator,
+        ])
+    )
+    assert ckpt.exists()
+    for name, traj in out["trajs"].items():
+        assert np.all(np.isfinite(traj)), name
+    rmses = out["rmses"]
+    assert set(rmses) == {
+        "Koopman", "Fossen (BlueROV2)", "Double Integrator", "PINc (ResDNN)"
+    }
+    for vals in rmses.values():
+        assert set(vals) == {1, 10, 100}
+    # checkpoint-skip path
+    out2 = tank_full_comparison.main(
+        _args(tmp_path, [
+            "--pinc-epochs", "3",
+            "--pinc-hidden", "16", "16",
+            "--pinc-ckpt", str(ckpt),
+            "--integrator", integrator,
+        ])
+    )
+    assert "Loading PINc checkpoint" in capsys.readouterr().out
+
+
+def test_viz_outputs(tmp_path, rng):
+    """Animation + static figure actually produce files."""
+    from bluerov2_dynamics_tpu.viz import animate_topdown, plot_topdown_with_depth
+
+    T = 30
+    traj = np.zeros((T, 12))
+    traj[:, 0] = np.linspace(0, 3, T)
+    traj[:, 1] = np.sin(np.linspace(0, 2, T))
+    traj[:, 5] = np.linspace(0, 1, T)
+    traj2 = traj + 0.1 * rng.normal(size=traj.shape)
+    gif = tmp_path / "anim.gif"
+    animate_topdown({"A": traj, "B": traj2}, dt=0.1, save_path=str(gif))
+    assert gif.exists() and gif.stat().st_size > 0
+    png = plot_topdown_with_depth(
+        {"A": traj, "B": traj2}, dt=0.1, seconds=2.0,
+        save_path=str(tmp_path / "fig.png"),
+    )
+    assert os.path.exists(png)
