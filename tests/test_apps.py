@@ -111,3 +111,36 @@ def test_viz_outputs(tmp_path, rng):
         save_path=str(tmp_path / "fig.png"),
     )
     assert os.path.exists(png)
+
+
+def test_demo_euler(capsys):
+    from bluerov2_dynamics_tpu.apps import demo
+
+    traj = demo.run_euler(dt=0.01, t_end=0.5, print_every=10)
+    assert traj.shape == (51, 12)
+    assert "Time=0.41" in capsys.readouterr().out  # k = 1, 11, ..., 41
+
+
+def test_demo_ode_with_tether(capsys):
+    from bluerov2_dynamics_tpu.apps import demo
+
+    traj = demo.run_ode(dt=0.01, t_end=0.3, use_tether=True, print_every=10)
+    assert traj.shape[0] == 31
+    import numpy as np
+
+    assert np.all(np.isfinite(traj))
+
+
+def test_profiling_utils():
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from bluerov2_dynamics_tpu.utils import profiling
+
+    with profiling.StepsPerSecond(100) as c:
+        c.done(jnp.ones(4))
+    assert c.rate > 0
+    profiling.check_finite({"a": jnp.ones(3)}, "ok")
+    with _pytest.raises(FloatingPointError):
+        profiling.check_finite({"a": jnp.array([1.0, jnp.nan])}, "bad")
+    assert profiling.fraction_nonfinite({"a": jnp.array([1.0, jnp.inf])}) == 0.5
