@@ -108,16 +108,16 @@ def main(argv=None):
 
     predK, tK = time_fn(lambda: koopman.simulate(model, x0, U_seq))
     p = fossen_params()
-    predF, tF = time_fn(
-        lambda: fossen.simulate_thruster(
-            p, cfg, lag, x0, U_seq, dt, method=args.integrator
-        )
+    sim_fossen = jax.jit(
+        lambda x0, U: fossen.simulate_thruster(p, cfg, lag, x0, U, dt,
+                                               method=args.integrator)
     )
+    predF, tF = time_fn(sim_fossen, x0, U_seq)
     di_variant = "euler12" if args.integrator == "euler" else "euler12_rk4"
-    predD, tD = time_fn(lambda: di.simulate(gains, x0, U_seq, dt, variant=di_variant))
-    predP, tP = time_fn(
-        lambda: pinc.simulate(net, params, x0, U4_te[start : start + horizon], dt)
-    )
+    sim_di = jax.jit(lambda x0, U: di.simulate(gains, x0, U, dt, variant=di_variant))
+    predD, tD = time_fn(sim_di, x0, U_seq)
+    sim_pinc = jax.jit(lambda x0, U4: pinc.simulate(net, params, x0, U4, dt))
+    predP, tP = time_fn(sim_pinc, x0, U4_te[start : start + horizon])
     common.print_rollout_timings(
         {"Koopman": tK, "Fossen (BlueROV2)": tF, "Double Integrator": tD,
          "PINc (ResDNN)": tP}
