@@ -1,0 +1,143 @@
+"""Pallas TPU kernel: sliding-window endpoint evaluation in VMEM.
+
+The endpoint H-step metric advances all N-H rollout starts simultaneously;
+the XLA scan version (:func:`..eval.metrics.endpoint_rmse_carry`) round-
+trips the (n_start, 12) state batch plus the (n_start, 8, 3) lag batch
+through HBM every one of the H steps.  This kernel keeps a block of starts
+(state + lag filters) in **VMEM scratch that persists across the time
+dimension of the grid**: the grid is (start_blocks, H), the per-step input
+window arrives as an aligned pipelined block of a pre-shifted input tensor
+``U_shift[t] = U[t : t+n_start]`` (built once by XLA; Mosaic cannot issue
+lane-unaligned dynamic vector loads, so the sliding window is materialised
+shifted instead of sliced in-kernel).
+
+HBM traffic: start states in, endpoint states out, plus one streamed pass
+over the (H, 8, n_start) shifted inputs.  Physical and lag constants are
+baked at build time.  Parity with the scan evaluator is tested in
+tests/test_pallas_eval.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bluerov2_dynamics_tpu.models.params import FossenParams, LagParams, ThrusterConfig
+from bluerov2_dynamics_tpu.ops.pallas_rollout import _make_rhs_const, _scalar
+
+
+def make_endpoint_final_pallas(
+    p: FossenParams,
+    cfg: ThrusterConfig,
+    lag: LagParams,
+    dt: float,
+    H: int,
+    method: str = "rk4",
+    block_b: int = 512,
+    interpret: bool = False,
+    use_lag: bool = True,
+):
+    """Build ``fn(X, U) -> final_states`` for the thruster-input model.
+
+    ``X``: ``(N, 12)`` recorded states, ``U``: ``(N, 8)`` recorded inputs;
+    returns the ``(N-H, 12)`` endpoint states of all sliding-window
+    rollouts (fresh zero lag state per start).  Feed into
+    ``rmse(X[H:], final)`` for the metric.
+    """
+    rhs = _make_rhs_const(p)
+    # constants baked as (nested) Python floats — numpy f64 scalars would
+    # promote the f32 kernel carry under jax_enable_x64
+    c1, c3, c5, c7, c9 = (_scalar(cfg.curve[i]) for i in range(5))
+    Wm = np.asarray(jax.device_get(cfg.wrench_map), np.float64).tolist()  # (8, 6)
+    Ad = np.asarray(jax.device_get(lag.Ad), np.float64).tolist()
+    Bd = np.asarray(jax.device_get(lag.Bd), np.float64).tolist()
+    cl = np.asarray(jax.device_get(lag.c), np.float64).tolist()
+
+    def kernel(u_ref, x_ref, out_ref, x_scr, l_scr):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            x_scr[:] = x_ref[:]
+            l_scr[:] = jnp.zeros_like(l_scr)
+
+        x = x_scr[:]                     # (12, block_b)
+        u = u_ref[0]                     # (8, block_b)
+        u2 = u * u
+        F_cmd = u * (c1 + u2 * (c3 + u2 * (c5 + u2 * (c7 + u2 * c9))))
+        if use_lag:
+            L = l_scr[:]                 # (3, 8, block_b)
+            N0 = Ad[0][0] * L[0] + Ad[0][1] * L[1] + Ad[0][2] * L[2] + Bd[0] * F_cmd
+            N1 = Ad[1][0] * L[0] + Ad[1][1] * L[1] + Ad[1][2] * L[2] + Bd[1] * F_cmd
+            N2 = Ad[2][0] * L[0] + Ad[2][1] * L[1] + Ad[2][2] * L[2] + Bd[2] * F_cmd
+            F = cl[0] * N0 + cl[1] * N1 + cl[2] * N2
+            l_scr[:] = jnp.stack([N0, N1, N2])
+        else:
+            F = F_cmd
+        tau = tuple(
+            sum(Wm[j][i] * F[j] for j in range(8) if Wm[j][i] != 0.0)
+            for i in range(6)
+        )
+        if method == "euler":
+            x = x + dt * rhs(x, tau)
+        else:
+            k1 = rhs(x, tau)
+            k2 = rhs(x + (0.5 * dt) * k1, tau)
+            k3 = rhs(x + (0.5 * dt) * k2, tau)
+            k4 = rhs(x + dt * k3, tau)
+            x = x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        x_scr[:] = x
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _():
+            out_ref[:] = x_scr[:]
+
+    @jax.jit
+    def fn(X, U):
+        N = X.shape[0]
+        n_start = N - H
+        n_pad = -(-n_start // block_b) * block_b
+        x0 = X[:n_start].T.astype(jnp.float32)        # (12, n_start)
+        if n_pad != n_start:
+            x0 = jnp.pad(x0, ((0, 0), (0, n_pad - n_start)))
+        ut = U.T.astype(jnp.float32)                   # (8, N)
+        if n_pad + H > U.shape[0]:
+            ut = jnp.pad(ut, ((0, 0), (0, n_pad + H - U.shape[0])))
+        # shifted input windows: U_shift[t] = inputs for inner step t of all
+        # starts — aligned blocks for the kernel's pipelined loads
+        u_shift = jnp.stack(
+            [jax.lax.dynamic_slice_in_dim(ut, t, n_pad, axis=1) for t in range(H)]
+        )  # (H, 8, n_pad)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((12, n_pad), jnp.float32),
+            grid=(n_pad // block_b, H),
+            in_specs=[
+                pl.BlockSpec((1, 8, block_b), lambda i, t: (t, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((12, block_b), lambda i, t: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((12, block_b), lambda i, t: (0, i),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((12, block_b), jnp.float32),
+                pltpu.VMEM((3, 8, block_b), jnp.float32),
+            ],
+            interpret=interpret,
+        )(u_shift, x0)
+        return out[:, :n_start].T
+
+    return fn
+
+
+def endpoint_rmse_pallas(p, cfg, lag, X, U, dt, H, **kw):
+    """Convenience: endpoint H-step RMSE via the VMEM kernel."""
+    from bluerov2_dynamics_tpu.eval.metrics import rmse
+
+    fn = make_endpoint_final_pallas(p, cfg, lag, dt, H, **kw)
+    final = fn(X, U)
+    return rmse(X[H:].astype(jnp.float32), final)

@@ -1,0 +1,66 @@
+"""Parity of the Pallas sliding-window evaluator with the scan evaluator."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from bluerov2_dynamics_tpu.eval import metrics
+from bluerov2_dynamics_tpu.models import fossen
+from bluerov2_dynamics_tpu.models.params import fossen_params, lag_params, thruster_config
+from bluerov2_dynamics_tpu.ops.pallas_eval import make_endpoint_final_pallas
+
+
+def _data(rng, N=60, dt=0.02):
+    p = fossen_params(dtype=jnp.float32)
+    cfg = thruster_config(dtype=jnp.float32)
+    lag = lag_params(dt, dtype=jnp.float32)
+    U = jnp.asarray(np.clip(rng.normal(size=(N, 8)) * 0.4, -1, 1), jnp.float32)
+    x0 = jnp.zeros(12, jnp.float32).at[2].set(1.0)
+    X = fossen.simulate_thruster(p, cfg, lag, x0, U, dt)[:-1]
+    X = X + jnp.asarray(rng.normal(size=X.shape) * 1e-3, jnp.float32)
+    return p, cfg, lag, X, U, dt
+
+
+def test_pallas_eval_matches_scan(rng):
+    p, cfg, lag, X, U, dt = _data(rng)
+    for H, method in ((7, "euler"), (11, "rk4")):
+        fn = make_endpoint_final_pallas(
+            p, cfg, lag, dt, H, method=method, block_b=8, interpret=True
+        )
+        final = np.asarray(fn(X, U))
+        # scan-evaluator endpoint states via per-start simulation
+        step = fossen.make_thruster_step(p, cfg, lag, dt, method=method)
+        want = []
+        for k in range(X.shape[0] - H):
+            traj = fossen.simulate_thruster(
+                p, cfg, lag, X[k], U[k : k + H], dt, method=method
+            )
+            want.append(np.asarray(traj[-1]))
+        np.testing.assert_allclose(final, np.stack(want), rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_eval_rmse_matches_metric(rng):
+    p, cfg, lag, X, U, dt = _data(rng)
+    H = 9
+    fn = make_endpoint_final_pallas(
+        p, cfg, lag, dt, H, method="euler", block_b=8, interpret=True
+    )
+    got = float(metrics.rmse(X[H:], fn(X, U)))
+    step = fossen.make_thruster_step(p, cfg, lag, dt, method="euler")
+    want = float(
+        metrics.endpoint_rmse_carry(
+            step, lambda x: jnp.zeros((*x.shape[:-1], 8, 3), x.dtype), X, U, H
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_pallas_eval_padding(rng):
+    """n_start not divisible by block_b exercises the pad/slice path."""
+    p, cfg, lag, X, U, dt = _data(rng, N=45)
+    H = 5
+    fn = make_endpoint_final_pallas(
+        p, cfg, lag, dt, H, method="euler", block_b=16, interpret=True
+    )
+    final = np.asarray(fn(X, U))
+    assert final.shape == (40, 12)
+    assert np.all(np.isfinite(final))
