@@ -207,3 +207,53 @@ def simulate(model: KoopmanModel, x0, U_seq):
 
     _, xs = jax.lax.scan(body, z0, U_seq)
     return jnp.concatenate([x0[None], xs], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Hyperparameter sweeps (TPU-native extension)
+# ---------------------------------------------------------------------------
+
+def fit_sweep(
+    key,
+    X,
+    U,
+    n_rbfs: int = 200,
+    gammas=(0.5, 1.0, 3.0),
+    ridges=(1e-6, 1e-3, 1e-1),
+    kmeans_iters: int = 25,
+):
+    """Fit every (gamma, ridge) combination in one vmapped solve.
+
+    The RBF centers are shared (k-means once); the lifts and ridge solves
+    for all hyperparameter combinations run as one batched computation —
+    a capability the reference's sequential scripts cannot express.
+    Returns a :class:`KoopmanModel` whose leading axis indexes the
+    ``len(gammas) * len(ridges)`` combinations (row-major), plus the
+    ``(combo, 2)`` array of (gamma, ridge) pairs.
+    """
+    centers, _ = kmeans(key, X, n_rbfs, iters=kmeans_iters)
+    combos = jnp.asarray(
+        [(g, r) for g in gammas for r in ridges], X.dtype
+    )  # (C, 2)
+
+    def fit_one(combo):
+        gamma, ridge = combo[0], combo[1]
+        Z = rbf_lift(X[:-1], centers, gamma)
+        Zp = rbf_lift(X[1:], centers, gamma)
+        return _fit_from_blocks(Z, Zp, U[:-1], centers, gamma, ridge)
+
+    models = jax.vmap(fit_one)(combos)
+    return models, combos
+
+
+def select_best(models: KoopmanModel, combos, X_val, U_val, H: int = 10):
+    """Score every swept model by endpoint H-step RMSE on validation data;
+    returns ``(best_model, best_combo, rmses)``."""
+
+    def score(model):
+        return multistep_rmse(model, X_val, U_val, H)
+
+    rmses = jax.vmap(score)(models)
+    best = int(jnp.argmin(rmses))
+    best_model = jax.tree.map(lambda a: a[best], models)
+    return best_model, combos[best], rmses

@@ -277,3 +277,37 @@ def test_di_rk4_close_to_discrete_at_small_dt(rng):
     t1 = di.simulate(gains, x0, U, dt, variant="euler12")
     t2 = di.simulate(gains, x0, U, dt, variant="euler12_rk4")
     np.testing.assert_allclose(np.asarray(t1[-1]), np.asarray(t2[-1]), atol=1e-5)
+
+
+def test_koopman_fit_sweep_and_select(rng):
+    X, U, _ = _make_linear_system_data(rng, N=400)
+    X, U = jnp.asarray(X), jnp.asarray(U)
+    models, combos = koopman.fit_sweep(
+        jax.random.PRNGKey(0), X[:300], U[:300],
+        n_rbfs=10, gammas=(0.5, 1.0), ridges=(1e-8, 1e-2),
+    )
+    assert models.A.shape == (4, 14, 14)
+    best, best_combo, rmses = koopman.select_best(models, combos, X[300:], U[300:], H=5)
+    assert rmses.shape == (4,)
+    assert best.A.shape == (14, 14)
+    # the selected model scores best
+    direct = float(koopman.multistep_rmse(best, X[300:], U[300:], 5))
+    np.testing.assert_allclose(direct, float(jnp.min(rmses)), rtol=1e-6)
+    # per-combo results match independent fits
+    m0 = koopman.fit(jax.random.PRNGKey(0), X[:300], U[:300],
+                     n_rbfs=10, gamma=0.5, ridge=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.map(lambda a: a[0], models).A), np.asarray(m0.A),
+        atol=1e-8,
+    )
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, rng):
+    from bluerov2_dynamics_tpu.utils.checkpoint import load_orbax, save_orbax
+
+    tree = {"A": jnp.asarray(rng.normal(size=(4, 4))), "b": jnp.arange(3.0)}
+    path = tmp_path / "ckpt"
+    save_orbax(path, tree)
+    restored = load_orbax(path, like=tree)
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
