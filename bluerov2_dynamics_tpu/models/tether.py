@@ -120,13 +120,16 @@ def tether_dynamics(cfg: TetherConfig, x_teth, anchor_pos, rov_pos, rov_vel, cur
     v_flow = jnp.asarray(current_ned)[..., None, :] - vel[..., :-1, :]
     v_along = jnp.sum(v_flow * rhat, axis=-1, keepdims=True) * rhat
     v_orth = v_flow - v_along
+
+    def _safe_speed(v):
+        # |v| with a finite gradient at v = 0 (plain norm has d|v|/dv = v/|v|,
+        # which is NaN at rest and breaks jacfwd in the implicit integrators;
+        # the value perturbation is ~1e-12 absolute)
+        return jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-24)
+
     half_rho_d = 0.5 * cfg.rho * cfg.diameter
-    F_along = half_rho_d * cfg.drag_normal * L * jnp.linalg.norm(
-        v_along, axis=-1, keepdims=True
-    ) * v_along
-    F_orth = half_rho_d * cfg.drag_tangent * L * jnp.linalg.norm(
-        v_orth, axis=-1, keepdims=True
-    ) * v_orth
+    F_along = half_rho_d * cfg.drag_normal * L * _safe_speed(v_along) * v_along
+    F_orth = half_rho_d * cfg.drag_tangent * L * _safe_speed(v_orth) * v_orth
     F = F_along + F_orth
 
     # Net force on internal node i = T_i - T_{i-1} + P_{i-1} - P_i + F_i
