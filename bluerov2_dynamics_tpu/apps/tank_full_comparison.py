@@ -88,15 +88,16 @@ def main(argv=None):
 
     # ---------------- metrics ----------------
     U4_te = pinc.wrench4_from_thrusters(cfg, lag, U_te)
+    # build step closures ONCE so the jit caches keyed on them stay warm
+    di_step = (
+        di.make_step_euler12(gains, dt)
+        if args.integrator == "euler"
+        else di.make_step_euler12_rk4(gains, dt)
+    )
     evaluators = {
         "Koopman": lambda H: koopman.multistep_rmse(model, X_te, U_te, H),
         "Fossen (BlueROV2)": fossen_evaluator(dt, X_te, U_te, method=args.integrator),
-        "Double Integrator": lambda H: metrics.endpoint_rmse(
-            di.make_step_euler12(gains, dt)
-            if args.integrator == "euler"
-            else di.make_step_euler12_rk4(gains, dt),
-            X_te, U_te, H,
-        ),
+        "Double Integrator": lambda H: metrics.endpoint_rmse(di_step, X_te, U_te, H),
         "PINc (ResDNN)": lambda H: pinc.endpoint_rmse(net, params, X_te, U4_te, dt, H),
     }
     rmses, _times = common.timed_metric_table(evaluators)

@@ -33,14 +33,21 @@ def fossen_evaluator(dt, X_test, U_test, method="euler"):
     lag = lag_params(dt)
     step = fossen.make_thruster_step(p, cfg, lag, dt, method=method)
     use_pallas = jax.default_backend() == "tpu"
+    _pallas_fns = {}  # cache jitted kernels per horizon
 
     def run(H: int):
         if use_pallas:
-            from bluerov2_dynamics_tpu.ops.pallas_eval import endpoint_rmse_pallas
-
-            return endpoint_rmse_pallas(
-                p, cfg, lag, X_test, U_test, dt, H, method=method
+            from bluerov2_dynamics_tpu.eval.metrics import rmse
+            from bluerov2_dynamics_tpu.ops.pallas_eval import (
+                make_endpoint_final_pallas,
             )
+
+            if H not in _pallas_fns:
+                _pallas_fns[H] = make_endpoint_final_pallas(
+                    p, cfg, lag, dt, H, method=method
+                )
+            final = _pallas_fns[H](X_test, U_test)
+            return rmse(X_test[H:].astype(final.dtype), final)
         return metrics.endpoint_rmse_carry(
             step,
             lambda x: jnp.zeros((*x.shape[:-1], 8, 3), x.dtype),
