@@ -33,6 +33,8 @@ def main(argv=None):
     ap.add_argument("--pinc-epochs", type=int, default=200)
     ap.add_argument("--pinc-ckpt", type=str, default="models/pinc_best.msgpack")
     ap.add_argument("--pinc-hidden", type=int, nargs="+", default=[64, 64, 64, 64])
+    ap.add_argument("--pinc-normalize", action="store_true",
+                    help="standardize PINc inputs (improvement over the reference)")
     ap.add_argument("--integrator", choices=["euler", "rk4"], default="euler")
     args = ap.parse_args(argv)
 
@@ -65,21 +67,33 @@ def main(argv=None):
     lag = lag_params(dt)
     hidden = tuple(args.pinc_hidden)
     ckpt = Path(args.pinc_ckpt)
-    net, params0 = pinc.init_params(jax.random.PRNGKey(args.seed + 1), hidden)
+    import numpy as _np
+
+    _, params0 = pinc.init_params(jax.random.PRNGKey(args.seed + 1), hidden)
+    ckpt_like = {"params": params0, "norm_mu": _np.zeros(14), "norm_sigma": _np.ones(14)}
     if ckpt.exists():
         info(f"Loading PINc checkpoint: {ckpt}")
-        params = load_pytree(ckpt, params0)
+        restored = load_pytree(ckpt, ckpt_like)
+        params = restored["params"]
+        net, _ = pinc.init_params(
+            jax.random.PRNGKey(args.seed + 1), hidden,
+            norm_mu=restored["norm_mu"], norm_sigma=restored["norm_sigma"],
+        )
         t_pinc = 0.0
     else:
         info("Training PINc (no checkpoint found).")
         data = pinc.make_dataset(X_tr, U_tr, dt, cfg, lag)
-        tc = pinc.TrainConfig(epochs=args.pinc_epochs)
+        tc = pinc.TrainConfig(epochs=args.pinc_epochs, normalize=args.pinc_normalize)
 
         def train_pinc():
             return pinc.train(jax.random.PRNGKey(args.seed + 1), data, tc, hidden)
 
         (net, params, _hist), t_pinc = time_fn(train_pinc, warmup=0)
-        save_pytree(ckpt, params)
+        save_pytree(ckpt, {
+            "params": params,
+            "norm_mu": _np.asarray(net.norm_mu, _np.float64),
+            "norm_sigma": _np.asarray(net.norm_sigma, _np.float64),
+        })
         ok(f"Saved PINc checkpoint -> {ckpt}")
     ok(f"PINc ready. (fit/load time = {t_pinc:.3f} s)")
 

@@ -30,11 +30,12 @@ epoch, all data resident on device.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from bluerov2_dynamics_tpu.models.fossen import reduced_rhs
@@ -127,13 +128,33 @@ class PINcNet(nn.Module):
     Input ``z = [x9, u4, dt]`` of width 14; output = next 9-state.  The xy
     residual is rotated body->world by the current yaw and the (cos, sin)
     pair is renormalized (``train_tank_brov2_full_comparison.py:657-721``).
+
+    ``norm_mu`` / ``norm_sigma`` (tuples of 14 floats) optionally
+    standardize the MLP input — an improvement over the reference, whose
+    network ingests raw unbounded world positions (a likely contributor to
+    its diverged training run, ``best_results.txt:793``).  The residual
+    head still operates on the un-normalized state.
     """
 
     hidden: Sequence[int] = (64, 64, 64, 64)
+    norm_mu: Optional[tuple] = None
+    norm_sigma: Optional[tuple] = None
+    position_invariant: bool = False
 
     @nn.compact
     def __call__(self, z):
         h = z
+        if self.position_invariant:
+            # mask world position from the MLP input: the hydrodynamics do
+            # not depend on x, y, z, and feeding unbounded drifting
+            # positions makes the network extrapolate off its training
+            # cloud (improvement over the reference architecture; the
+            # position channels are still integrated via the residual head)
+            h = h * jnp.asarray([0.0] * 3 + [1.0] * 11, z.dtype)
+        if self.norm_mu is not None:
+            mu = jnp.asarray(self.norm_mu, z.dtype)
+            sigma = jnp.asarray(self.norm_sigma, z.dtype)
+            h = (h - mu) / sigma
         for width in self.hidden:
             h = nn.Dense(width)(h)
             h = AdaptiveSoftplus()(h)
@@ -160,10 +181,30 @@ class PINcNet(nn.Module):
         )
 
 
-def init_params(key, hidden: Sequence[int] = (64, 64, 64, 64), dtype=jnp.float32):
-    net = PINcNet(hidden=tuple(hidden))
+def init_params(
+    key,
+    hidden: Sequence[int] = (64, 64, 64, 64),
+    dtype=jnp.float32,
+    norm_mu=None,
+    norm_sigma=None,
+    position_invariant: bool = False,
+):
+    net = PINcNet(
+        hidden=tuple(hidden),
+        norm_mu=None if norm_mu is None else tuple(float(v) for v in norm_mu),
+        norm_sigma=None if norm_sigma is None else tuple(float(v) for v in norm_sigma),
+        position_invariant=position_invariant,
+    )
     params = net.init(key, jnp.zeros((1, 14), dtype))
     return net, params
+
+
+def input_stats(z, eps: float = 1e-6):
+    """Per-column mean/std of the training inputs for :class:`PINcNet`
+    normalization (std floored at ``eps`` — the constant dt column)."""
+    mu = jnp.mean(z, axis=0)
+    sigma = jnp.maximum(jnp.std(z, axis=0), eps)
+    return np.asarray(jax.device_get(mu)), np.asarray(jax.device_get(sigma))
 
 
 # ---------------------------------------------------------------------------
@@ -234,6 +275,8 @@ class TrainConfig(NamedTuple):
     rollout_steps: int = 10
     rollout_windows: int = 16   # windows per batch for the rollout loss
     rollout_weight: float = 1.0
+    normalize: bool = False     # standardize MLP inputs (improvement; see PINcNet)
+    position_invariant: bool = False  # mask x,y,z from the MLP input (improvement)
 
 
 def make_optimizer(tc: TrainConfig):
@@ -259,7 +302,14 @@ def train(
     if rp is None:
         rp = reduced_params(dtype=data.z.dtype)
     key, init_key = jax.random.split(key)
-    net, params = init_params(init_key, hidden, dtype=data.z.dtype)
+    if tc.normalize:
+        mu, sigma = input_stats(data.z)
+    else:
+        mu, sigma = np.zeros(14), np.ones(14)  # identity (bit-equal to no norm)
+    net, params = init_params(
+        init_key, hidden, dtype=data.z.dtype, norm_mu=mu, norm_sigma=sigma,
+        position_invariant=tc.position_invariant,
+    )
     opt = make_optimizer(tc)
     opt_state = opt.init(params)
 
@@ -343,13 +393,24 @@ def simulate(net, params, x0_12, U4_seq, dt):
     return jnp.concatenate([jnp.asarray(x0_12)[None], traj12], axis=0)
 
 
-@partial(jax.jit, static_argnums=(0, 5))
-def endpoint_rmse(net, params, X12, U4, dt, H: int):
+@partial(jax.jit, static_argnums=(0, 5, 6))
+def endpoint_rmse(net, params, X12, U4, dt, H: int, psi_error: str = "raw"):
     """Endpoint H-step RMSE in 12D projection over all starts
     (``train_tank_brov2_full_comparison.py:865-888``): start states are
     converted 12->9 once, rolled out in 9D, and the endpoints are embedded
-    back to 12D (zeroed phi/theta/p/q) before scoring."""
+    back to 12D (zeroed phi/theta/p/q) before scoring.
+
+    Measurement caveat inherited from the reference: the 9->12 embedding
+    recovers psi via atan2 (wrapped to [-pi, pi]) while recorded datasets
+    store *unwrapped* psi (e.g. 1217 deg in the reference tank run), so the
+    psi channel contributes 2*pi*k errors that dwarf the model error — a
+    large part of the reference's reported PINc "divergence"
+    (``best_results.txt:793``).  ``psi_error='raw'`` (default) reproduces
+    the reference metric; ``'ssa'`` scores the psi channel by smallest
+    signed angle instead.
+    """
     from bluerov2_dynamics_tpu.eval.metrics import rmse
+    from bluerov2_dynamics_tpu.ops.rotations import ssa
 
     N = X12.shape[0]
     n_start = N - H
@@ -360,4 +421,9 @@ def endpoint_rmse(net, params, X12, U4, dt, H: int):
         return step(x9, u_t), None
 
     x9, _ = jax.lax.scan(body, state12_to_9(X12[:n_start]), jnp.arange(H))
-    return rmse(X12[H:], state9_to_12(x9))
+    pred = state9_to_12(x9)
+    if psi_error == "ssa":
+        err = pred - X12[H:]
+        err = err.at[..., 5].set(ssa(err[..., 5]))
+        return jnp.sqrt(jnp.mean(err * err))
+    return rmse(X12[H:], pred)

@@ -164,3 +164,21 @@ def test_physics_loss_stop_gradient():
     g_stop = jax.grad(lambda x: pinc.physics_loss(rp, x, u, True))(x)
     assert float(jnp.abs(g_free).sum()) > 0
     np.testing.assert_allclose(np.asarray(g_stop), 0.0)
+
+
+def test_endpoint_rmse_psi_modes(rng):
+    """'ssa' scoring removes 2*pi*k psi-wrap artifacts of the 9->12
+    embedding (the reference metric's dominant error term on unwrapped
+    datasets); 'raw' reproduces the reference semantics."""
+    net, params = pinc.init_params(jax.random.PRNGKey(3))
+    dt = 0.05
+    N, H = 30, 5
+    X12 = jnp.asarray(rng.normal(size=(N, 12)) * 0.1, jnp.float32)
+    # unwrapped psi far outside [-pi, pi]
+    X12 = X12.at[:, 5].add(4 * np.pi)
+    U4 = jnp.asarray(rng.normal(size=(N, 4)), jnp.float32)
+    raw = float(pinc.endpoint_rmse(net, params, X12, U4, dt, H, psi_error="raw"))
+    fair = float(pinc.endpoint_rmse(net, params, X12, U4, dt, H, psi_error="ssa"))
+    assert fair < raw
+    # raw error is dominated by the ~4*pi wrap on the psi channel
+    assert raw > 4 * np.pi / np.sqrt(12) * 0.8
