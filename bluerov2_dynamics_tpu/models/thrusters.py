@@ -81,3 +81,32 @@ def thruster_wrench_nolag(cfg: ThrusterConfig, u8):
     """Static-curve-only wrench (lag disabled), cf. the commented-out path
     at ``fossen/BlueROV2.py:260-261``."""
     return wrench_from_thrust(cfg, static_thrust(cfg, u8))
+
+
+def tf_to_ss(num, den):
+    """Transfer function -> controllable-canonical state space (host-side).
+
+    The reference derives its thruster-lag (A, B, C) realization from the
+    third-order transfer function in a MATLAB scratch file
+    (``fossen/thrust_dynamics.m``); this utility provides the same
+    capability in-repo.  ``num``/``den`` are descending-power coefficient
+    sequences; returns ``(A, B, C, D)`` NumPy arrays.
+    """
+    import numpy as np
+
+    num = np.atleast_1d(np.asarray(num, np.float64))
+    den = np.atleast_1d(np.asarray(den, np.float64))
+    den = den / den[0]
+    n = len(den) - 1
+    num = np.concatenate([np.zeros(n + 1 - len(num)), num / 1.0])
+    d0 = num[0]
+    # strictly-proper part coefficients: b_i - a_i * d0
+    b = num[1:] - den[1:] * d0
+    A = np.zeros((n, n))
+    A[0, :] = -den[1:]
+    A[1:, :-1] = np.eye(n - 1)
+    B = np.zeros((n, 1))
+    B[0, 0] = 1.0
+    C = b[None, :]
+    D = np.array([[d0]])
+    return A, B, C, D

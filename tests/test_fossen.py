@@ -214,3 +214,30 @@ def test_reduced_rhs_matches_oracle(rng):
         np.testing.assert_allclose(
             got[i], oracles.reduced_rhs_oracle(X9[i], U4[i]), atol=1e-10
         )
+
+
+def test_tf_to_ss_matches_scipy_lag_transfer_function():
+    """The in-repo tf->ss realization of the thruster-lag transfer function
+    (6136 s + 108700) / (s^3 + 89 s^2 + 9258 s + 108700) must define the
+    same system as scipy's (same transfer function, hence same markov
+    parameters / frequency response) and the same one the reference's
+    hand-derived (A,B,C) constants define."""
+    import scipy.signal
+
+    from bluerov2_dynamics_tpu.models.params import LAG_AC, LAG_BC, LAG_C
+    from bluerov2_dynamics_tpu.models.thrusters import tf_to_ss
+
+    num = [6136.0, 108700.0]
+    den = [1.0, 89.0, 9258.0, 108700.0]
+    A, B, C, D = tf_to_ss(num, den)
+    # frequency response parity with scipy's realization
+    w = np.logspace(-1, 3, 50)
+    _, H_ours = scipy.signal.freqresp((A, B, C, D), w)
+    _, H_scipy = scipy.signal.freqresp(scipy.signal.tf2ss(num, den), w)
+    np.testing.assert_allclose(H_ours, H_scipy, rtol=1e-9)
+    # ... and with the reference's hand-derived constants (rounded entries,
+    # so only approximately the same system)
+    _, H_ref = scipy.signal.freqresp(
+        (LAG_AC, LAG_BC[:, None], LAG_C[None, :], np.zeros((1, 1))), w
+    )
+    np.testing.assert_allclose(np.abs(H_ours), np.abs(H_ref), rtol=2e-3)
