@@ -22,7 +22,11 @@ HORIZONS = (1, 10, 100)
 def base_parser(description: str) -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description=description)
     ap.add_argument("--csv", type=str, default=None,
-                    help="dataset CSV; omit with --synthetic")
+                    help="dataset CSV file, or a directory to search for the "
+                         "newest --csv-name under (reference behavior); omit "
+                         "with --synthetic")
+    ap.add_argument("--csv-name", type=str, default="koopman_dataset_50Hz.csv",
+                    help="file name searched for when --csv is a directory")
     ap.add_argument("--synthetic", action="store_true",
                     help="generate a simulated dataset instead of loading a CSV")
     ap.add_argument("--steps", type=int, default=20_000,
@@ -58,7 +62,14 @@ def load_or_generate(args, loader: Callable = csv_loader.load_thruster_dataset):
             t=np.arange(args.steps) * args.dt,
             dt=args.dt,
         )
-    return loader(args.csv)
+    from pathlib import Path
+
+    csv_path = Path(args.csv)
+    if csv_path.is_dir():
+        csv_path = csv_loader.find_latest_csv(
+            csv_path, getattr(args, "csv_name", "koopman_dataset_50Hz.csv")
+        )
+    return loader(csv_path)
 
 
 def timed_metric_table(

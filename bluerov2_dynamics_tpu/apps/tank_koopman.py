@@ -36,6 +36,8 @@ def fossen_evaluator(dt, X_test, U_test, method="euler"):
     _pallas_fns = {}  # cache jitted kernels per horizon
 
     def run(H: int):
+        if X_test.shape[0] - H <= 0:  # reference evaluators return NaN
+            return jnp.asarray(jnp.nan, X_test.dtype)
         if use_pallas:
             from bluerov2_dynamics_tpu.eval.metrics import rmse
             from bluerov2_dynamics_tpu.ops.pallas_eval import (

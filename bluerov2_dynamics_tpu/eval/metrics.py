@@ -70,6 +70,8 @@ def endpoint_rmse(step: Callable, X, U, H: int):
     """
     N = X.shape[0]
     n_start = N - H
+    if n_start <= 0:  # reference evaluators return NaN for H >= N
+        return jnp.asarray(jnp.nan, X.dtype)
     final = _scan_all_starts(lambda c, u: step(c, u), X[:n_start], U, H, n_start)
     return rmse(X[H:], final)
 
@@ -99,6 +101,8 @@ def endpoint_rmse_carry(
     def run(X, U, H):
         N = X.shape[0]
         n_start = N - H
+        if n_start <= 0:
+            return jnp.asarray(jnp.nan, X.dtype)
         x0 = X[:n_start]
         carry0 = (x0, init_aux(x0))
         final, _aux = _scan_all_starts(step, carry0, U, H, n_start)

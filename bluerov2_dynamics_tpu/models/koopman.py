@@ -179,6 +179,8 @@ def multistep_rmse(model: KoopmanModel, X, U, H: int = 10):
     """
     N = X.shape[0]
     n_start = N - H
+    if n_start <= 0:  # static shape check; reference returns NaN here
+        return jnp.asarray(jnp.nan, X.dtype)
     Z = lift(model, X[:n_start])
     A_T, B_T = model.A.T, model.B.T
 

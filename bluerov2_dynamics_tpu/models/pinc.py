@@ -414,6 +414,8 @@ def endpoint_rmse(net, params, X12, U4, dt, H: int, psi_error: str = "raw"):
 
     N = X12.shape[0]
     n_start = N - H
+    if n_start <= 0:  # reference evaluators return NaN for H >= N
+        return jnp.asarray(jnp.nan, X12.dtype)
     step = make_step(net, params, dt)
 
     def body(x9, t):

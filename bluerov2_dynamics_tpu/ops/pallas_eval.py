@@ -99,6 +99,7 @@ def make_endpoint_final_pallas(
     def fn(X, U):
         N = X.shape[0]
         n_start = N - H
+        assert n_start > 0, f"horizon H={H} >= dataset length {N}"
         n_pad = -(-n_start // block_b) * block_b
         x0 = X[:n_start].T.astype(jnp.float32)        # (12, n_start)
         if n_pad != n_start:

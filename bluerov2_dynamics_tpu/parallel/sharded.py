@@ -108,3 +108,53 @@ def shardmap_endpoint_rmse(mesh: Mesh, step: Callable, X, U, H: int,
     )
     sq_total = fn(X[:n_start], X[H:], U)
     return jnp.sqrt(sq_total / (n_start * n))
+
+
+def sharded_koopman_fit(
+    mesh: Mesh,
+    key,
+    X,
+    U,
+    n_rbfs: int = 200,
+    gamma: float = 1.0,
+    ridge: float = 1e-8,
+    kmeans_iters: int = 25,
+    data_axis: str = "data",
+):
+    """Koopman EDMDc fit with the snapshot rows sharded over the mesh.
+
+    The Gram matrix ``G^T G`` and cross term ``G^T Y`` are accumulated
+    across devices (XLA inserts the reduce from the sharding annotations);
+    the small (d+r)^2 solve is replicated.  Scales the reference's fit
+    (``Koopman/koopmanEDMDc.py:72-103``) to datasets larger than one
+    chip's HBM.
+    """
+    import jax.numpy as jnp
+
+    from bluerov2_dynamics_tpu.models.koopman import KoopmanModel, _ridge_solve
+    from bluerov2_dynamics_tpu.ops.kmeans import kmeans
+    from bluerov2_dynamics_tpu.ops.lifting import rbf_lift
+
+    repl = NamedSharding(mesh, P())
+    rows = NamedSharding(mesh, P(data_axis))
+
+    @partial(jax.jit, static_argnums=(1,), in_shardings=(repl, repl, repl))
+    def run(key, n_rbfs, X, U):
+        centers, _ = kmeans(key, X, n_rbfs, iters=kmeans_iters)
+        Z = jax.lax.with_sharding_constraint(
+            rbf_lift(X[:-1], centers, gamma), rows
+        )
+        Zp = jax.lax.with_sharding_constraint(
+            rbf_lift(X[1:], centers, gamma), rows
+        )
+        G = jnp.concatenate([Z, U[:-1]], axis=1)
+        M = _ridge_solve(G, Zp, ridge)
+        d = Z.shape[1]
+        return KoopmanModel(
+            centers=centers,
+            gamma=jnp.asarray(gamma, X.dtype),
+            A=M[:d].T,
+            B=M[d:].T,
+        )
+
+    return run(key, n_rbfs, X, U)

@@ -144,3 +144,30 @@ def test_profiling_utils():
     with _pytest.raises(FloatingPointError):
         profiling.check_finite({"a": jnp.array([1.0, jnp.nan])}, "bad")
     assert profiling.fraction_nonfinite({"a": jnp.array([1.0, jnp.inf])}) == 0.5
+
+
+def test_app_csv_directory_discovery(tmp_path, capsys):
+    """--csv pointing at a directory discovers the newest dataset file."""
+    import pandas as pd
+
+    from bluerov2_dynamics_tpu.apps import tank_koopman
+    from bluerov2_dynamics_tpu.data import csv_loader
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "rosbags" / "run1"
+    d.mkdir(parents=True)
+    N = 300
+    cols = {"t": np.arange(N) * 0.02}
+    for c in csv_loader.EULER12_COLS:
+        cols[c] = rng.normal(size=N) * 0.1
+    for c in csv_loader.THRUSTER_COLS:
+        cols[c] = np.clip(rng.normal(size=N), -1, 1)
+    pd.DataFrame(cols).to_csv(d / "koopman_dataset_50Hz.csv", index=False)
+
+    out = tank_koopman.main([
+        "--csv", str(tmp_path), "--n-rbfs", "10", "--gamma", "1.0",
+        "--ridge", "1e-3", "--open-loop-steps", "20", "--no-media",
+        "--media-dir", str(tmp_path / "m"),
+    ])
+    assert np.all(np.isfinite(out["pred"]))
+    assert "koopman_dataset_50Hz.csv" in capsys.readouterr().out

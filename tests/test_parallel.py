@@ -90,3 +90,33 @@ def test_dp_gradient_allreduce(rng, mesh):
         jax.grad(loss), in_shardings=(repl, bs, bs), out_shardings=repl
     )(W, X, Y)
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_local), atol=1e-12)
+
+
+def test_sharded_koopman_fit_matches_single_device(rng, mesh):
+    from bluerov2_dynamics_tpu.models import koopman
+    from bluerov2_dynamics_tpu.parallel.sharded import sharded_koopman_fit
+
+    # simple stable linear system data
+    A = np.eye(4) * 0.95 + 0.01 * rng.normal(size=(4, 4))
+    Bm = 0.05 * rng.normal(size=(2, 4))
+    X = np.zeros((321, 4))
+    U = rng.normal(size=(321, 2))
+    x = rng.normal(size=4)
+    for k in range(321):
+        X[k] = x
+        x = x @ A + U[k] @ Bm
+    X, U = jnp.asarray(X), jnp.asarray(U)
+
+    single = koopman.fit(jax.random.PRNGKey(0), X, U, n_rbfs=12, gamma=1.0,
+                         ridge=1e-6)
+    shard = sharded_koopman_fit(mesh, jax.random.PRNGKey(0), X, U,
+                                n_rbfs=12, gamma=1.0, ridge=1e-6)
+    np.testing.assert_allclose(np.asarray(shard.centers),
+                               np.asarray(single.centers), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(shard.A), np.asarray(single.A),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(shard.B), np.asarray(single.B),
+                               atol=1e-7)
+    # and the fitted model predicts
+    err = float(koopman.evaluate(shard, X, U))
+    assert err < 1e-4
