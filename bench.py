@@ -94,7 +94,56 @@ def run(batch: int = 16384, T: int = 500, iters: int = 5, method: str = "rk4"):
     return steps_per_sec, elapsed
 
 
+def run_full():
+    """Secondary benchmarks (printed as extra JSON lines; opt-in via
+    --full, not consumed by the driver)."""
+    import jax.random as jr
+
+    from bluerov2_dynamics_tpu.data.synthetic import generate_sim_dataset
+    from bluerov2_dynamics_tpu.eval.metrics import rmse
+    from bluerov2_dynamics_tpu.eval.timing import time_fn
+    from bluerov2_dynamics_tpu.models import koopman
+    from bluerov2_dynamics_tpu.models.params import (
+        fossen_params,
+        lag_params,
+        thruster_config,
+    )
+    from bluerov2_dynamics_tpu.ops.pallas_eval import make_endpoint_final_pallas
+
+    N, dt = 45823, 0.02
+    sim = generate_sim_dataset(jax.random.PRNGKey(0), n_steps=N, dt=dt)
+    X, U = sim.X, sim.U
+    split = int(0.8 * N)
+    rows = []
+
+    model, t_fit = time_fn(
+        lambda: koopman.fit(jr.PRNGKey(0), X[:split], U[:split],
+                            n_rbfs=500, gamma=3.0, ridge=1e-1),
+        warmup=1, iters=3,
+    )
+    rows.append(("koopman_fit_500rbf_36k_seconds", t_fit, "s", 2.30 / t_fit))
+
+    _, t_k = time_fn(
+        lambda: koopman.multistep_rmse(model, X[split:], U[split:], 100),
+        warmup=1, iters=3,
+    )
+    rows.append(("koopman_h100_eval_seconds", t_k, "s", 41.2 / t_k))
+
+    p, cfg, lag = fossen_params(), thruster_config(), lag_params(dt)
+    fe = make_endpoint_final_pallas(p, cfg, lag, dt, 100, method="euler",
+                                    block_b=1024)
+    run_f = jax.jit(lambda X, U: rmse(X[100:].astype(jnp.float32), fe(X, U)))
+    _, t_f = time_fn(run_f, X[split:], U[split:], warmup=1, iters=3)
+    rows.append(("fossen_h100_eval_seconds", t_f, "s", 1246.7 / t_f))
+
+    for metric, value, unit, vs in rows:
+        print(json.dumps({"metric": metric, "value": value, "unit": unit,
+                          "vs_baseline": vs}))
+
+
 def main():
+    if "--full" in sys.argv:
+        run_full()
     try:
         steps_per_sec, elapsed = run_pallas()
     except Exception as e:  # pragma: no cover - platform fallback
