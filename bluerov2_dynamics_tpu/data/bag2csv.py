@@ -442,7 +442,14 @@ def convert(
     """Full pipeline: bag -> cleaned 50 Hz CSV (+ optional parquet/video)."""
     bag_path = Path(bag_path)
     info(f"Opening bag at: {bag_path}")
-    df_odom, df_act = read_bag(bag_path, topics)
+    try:
+        df_odom, df_act = read_bag(bag_path, topics)
+    except ImportError:
+        # dependency-free fallback: sqlite3 + minimal CDR codec
+        from bluerov2_dynamics_tpu.data.bag_sqlite import read_bag_sqlite
+
+        info("'rosbags' not installed; using the built-in sqlite/CDR reader.")
+        df_odom, df_act = read_bag_sqlite(bag_path, topics)
     if len(df_odom) < 2:
         raise RuntimeError("Not enough odometry samples.")
     dt_med = float(np.median(np.diff(df_odom["t"])))

@@ -1,0 +1,178 @@
+"""Dependency-free rosbag2 reader (SQLite + CDR).
+
+rosbag2's default storage is a SQLite database (``.db3``) with ``topics``
+and ``messages`` tables and CDR-serialized payloads.  This module reads
+them with the standard library's ``sqlite3`` plus the minimal CDR codec in
+:mod:`cdr` — so the ingestion pipeline (R1 in SURVEY.md) runs even without
+the optional ``rosbags`` package the reference requires.
+
+Only the message types the BlueROV2 pipeline consumes are decodable (see
+``cdr.DECODERS``); unknown types are skipped.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+from pathlib import Path
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from bluerov2_dynamics_tpu.data import cdr
+from bluerov2_dynamics_tpu.data.bag2csv import (
+    BagTopics,
+    actuator_diagnostics,
+    actuator_table,
+    infer_twist_frame,
+    ned_quat_to_enu,
+    ned_to_enu,
+    odom_table,
+)
+from bluerov2_dynamics_tpu.utils.log import info, warn
+
+
+def find_db3(bag_path) -> Path:
+    """Locate the .db3 file of a rosbag2 directory (or accept a file path)."""
+    bag_path = Path(bag_path)
+    if bag_path.is_file() and bag_path.suffix == ".db3":
+        return bag_path
+    cands = sorted(bag_path.glob("*.db3"))
+    if not cands:
+        raise FileNotFoundError(f"No .db3 storage found under {bag_path}")
+    return cands[0]
+
+
+def topics_of(db3_path) -> Dict[str, Tuple[int, str]]:
+    """Map topic name -> (topic_id, type_name)."""
+    with sqlite3.connect(f"file:{Path(db3_path)}?mode=ro", uri=True) as con:
+        rows = con.execute("SELECT id, name, type FROM topics").fetchall()
+    return {name: (tid, typ) for tid, name, typ in rows}
+
+
+def iter_messages(db3_path, topic: str) -> Iterator[Tuple[int, object]]:
+    """Yield ``(timestamp_ns, decoded_message)`` for one topic."""
+    tops = topics_of(db3_path)
+    if topic not in tops:
+        return
+    tid, typ = tops[topic]
+    decoder = cdr.DECODERS.get(typ)
+    if decoder is None:
+        warn(f"No CDR decoder for type {typ!r} (topic {topic}); skipping.")
+        return
+    with sqlite3.connect(f"file:{Path(db3_path)}?mode=ro", uri=True) as con:
+        cur = con.execute(
+            "SELECT timestamp, data FROM messages WHERE topic_id = ? "
+            "ORDER BY timestamp", (tid,),
+        )
+        for ts, blob in cur:
+            try:
+                yield ts, decoder(bytes(blob))
+            except Exception:
+                continue
+
+
+def read_bag_sqlite(
+    bag_path,
+    topics: BagTopics = BagTopics(),
+    verbose: bool = True,
+) -> Tuple[pd.DataFrame, Optional[pd.DataFrame]]:
+    """Drop-in equivalent of :func:`bag2csv.read_bag` with no dependencies.
+
+    Source priority and frame handling match the reference pipeline:
+    mocap Odometry -> mocap Pose+Twist -> PX4 VehicleOdometry (NED->ENU).
+    """
+    db3 = find_db3(bag_path)
+    tops = topics_of(db3)
+    if verbose:
+        info(f"rosbag2 sqlite storage: {db3} ({len(tops)} topics)")
+    t0 = None
+
+    def rel(ts):
+        nonlocal t0
+        if t0 is None:
+            t0 = ts
+        return (ts - t0) * 1e-9
+
+    if topics.mocap_odom in tops:
+        times, pos, quats, lin, ang, frames = [], [], [], [], [], []
+        for ts, m in iter_messages(db3, topics.mocap_odom):
+            times.append(rel(ts))
+            p = m.pose.pose.position
+            o = m.pose.pose.orientation
+            tw = m.twist.twist
+            pos.append((p.x, p.y, p.z))
+            quats.append((o.x, o.y, o.z, o.w))
+            lin.append((tw.linear.x, tw.linear.y, tw.linear.z))
+            ang.append((tw.angular.x, tw.angular.y, tw.angular.z))
+            frames.append(m.child_frame_id)
+        mode = None
+        if frames and any(frames):
+            cf = frames[len(frames) // 2]
+            if isinstance(cf, str) and any(k in cf for k in ("base_link", "body", "base")):
+                mode = "body"
+        if mode is None:
+            mode = infer_twist_frame(times, pos, lin, quats, verbose)
+        df_odom = odom_table(times, pos, quats, lin, ang, mode)
+
+    elif topics.mocap_pose in tops and topics.mocap_vel in tops:
+        prow = [
+            (rel(ts), m.pose.position.x, m.pose.position.y, m.pose.position.z,
+             m.pose.orientation.x, m.pose.orientation.y, m.pose.orientation.z,
+             m.pose.orientation.w)
+            for ts, m in iter_messages(db3, topics.mocap_pose)
+        ]
+        vrow = [
+            (rel(ts), m.twist.linear.x, m.twist.linear.y, m.twist.linear.z,
+             m.twist.angular.x, m.twist.angular.y, m.twist.angular.z)
+            for ts, m in iter_messages(db3, topics.mocap_vel)
+        ]
+        dfp = pd.DataFrame(prow, columns=["t", "px", "py", "pz", "qx", "qy", "qz", "qw"]).sort_values("t")
+        dfv = pd.DataFrame(vrow, columns=["t", "vlx", "vly", "vlz", "vax", "vay", "vaz"]).sort_values("t")
+        dfm = pd.merge_asof(dfp, dfv, on="t", direction="nearest",
+                            tolerance=0.5 / 50.0).dropna()
+        quats = dfm[["qx", "qy", "qz", "qw"]].to_numpy()
+        mode = infer_twist_frame(
+            dfm["t"].to_numpy(), dfm[["px", "py", "pz"]].to_numpy(),
+            dfm[["vlx", "vly", "vlz"]].to_numpy(), quats, verbose,
+        )
+        df_odom = odom_table(
+            dfm["t"].to_numpy(), dfm[["px", "py", "pz"]].to_numpy(), quats,
+            dfm[["vlx", "vly", "vlz"]].to_numpy(),
+            dfm[["vax", "vay", "vaz"]].to_numpy(), mode,
+        )
+
+    elif topics.px4_odom in tops:
+        rows = [
+            (rel(ts), tuple(m.position), (m.q[1], m.q[2], m.q[3], m.q[0]),
+             tuple(m.velocity), tuple(m.angular_velocity))
+            for ts, m in iter_messages(db3, topics.px4_odom)
+        ]
+        times = [r[0] for r in rows]
+        pos = ned_to_enu(np.asarray([r[1] for r in rows]))
+        quats = ned_quat_to_enu(np.asarray([r[2] for r in rows]))
+        lin = ned_to_enu(np.asarray([r[3] for r in rows]))
+        ang = ned_to_enu(np.asarray([r[4] for r in rows]))
+        df_odom = odom_table(times, pos, quats, lin, ang, mode="parent")
+
+    else:
+        raise RuntimeError(
+            "No pose/odometry stream found in bag. Available topics: "
+            f"{sorted(tops)}"
+        )
+
+    df_act = None
+    if topics.px4_motors in tops:
+        rows = [
+            (rel(ts), tuple(m.control[:8]))
+            for ts, m in iter_messages(db3, topics.px4_motors)
+        ]
+        if rows:
+            times = [r[0] for r in rows]
+            raw = np.asarray([r[1] for r in rows], float)
+            actuator_diagnostics(raw, verbose)
+            df_act = actuator_table(times, raw)
+    elif verbose:
+        info("Actuator topic not present.")
+
+    return df_odom.sort_values("t").reset_index(drop=True), df_act
