@@ -50,6 +50,20 @@ def topics_of(db3_path) -> Dict[str, Tuple[int, str]]:
     return {name: (tid, typ) for tid, name, typ in rows}
 
 
+def raw_messages(db3_path, topic: str):
+    """All ``(timestamp_ns, blob)`` rows of a topic (for batch decoding)."""
+    tops = topics_of(db3_path)
+    if topic not in tops:
+        return [], None
+    tid, typ = tops[topic]
+    with sqlite3.connect(f"file:{Path(db3_path)}?mode=ro", uri=True) as con:
+        rows = con.execute(
+            "SELECT timestamp, data FROM messages WHERE topic_id = ? "
+            "ORDER BY timestamp", (tid,),
+        ).fetchall()
+    return [(ts, bytes(b)) for ts, b in rows], typ
+
+
 def iter_messages(db3_path, topic: str) -> Iterator[Tuple[int, object]]:
     """Yield ``(timestamp_ns, decoded_message)`` for one topic."""
     tops = topics_of(db3_path)
@@ -76,11 +90,15 @@ def read_bag_sqlite(
     bag_path,
     topics: BagTopics = BagTopics(),
     verbose: bool = True,
+    use_native: bool = True,
 ) -> Tuple[pd.DataFrame, Optional[pd.DataFrame]]:
     """Drop-in equivalent of :func:`bag2csv.read_bag` with no dependencies.
 
     Source priority and frame handling match the reference pipeline:
     mocap Odometry -> mocap Pose+Twist -> PX4 VehicleOdometry (NED->ENU).
+    With ``use_native`` the C++ batch CDR decoders
+    (:mod:`..data.native_cdr`) process each topic in one call; falls back
+    to the per-message Python codec automatically.
     """
     db3 = find_db3(bag_path)
     tops = topics_of(db3)
@@ -94,23 +112,46 @@ def read_bag_sqlite(
             t0 = ts
         return (ts - t0) * 1e-9
 
+    def native(fn, blobs):
+        if not use_native:
+            return None
+        try:
+            from bluerov2_dynamics_tpu.data import native_cdr
+
+            return getattr(native_cdr, fn)(blobs)
+        except Exception as e:
+            if verbose:
+                warn(f"native CDR decode unavailable ({e}); using Python codec")
+            return None
+
     if topics.mocap_odom in tops:
-        times, pos, quats, lin, ang, frames = [], [], [], [], [], []
-        for ts, m in iter_messages(db3, topics.mocap_odom):
-            times.append(rel(ts))
-            p = m.pose.pose.position
-            o = m.pose.pose.orientation
-            tw = m.twist.twist
-            pos.append((p.x, p.y, p.z))
-            quats.append((o.x, o.y, o.z, o.w))
-            lin.append((tw.linear.x, tw.linear.y, tw.linear.z))
-            ang.append((tw.angular.x, tw.angular.y, tw.angular.z))
-            frames.append(m.child_frame_id)
-        mode = None
-        if frames and any(frames):
-            cf = frames[len(frames) // 2]
-            if isinstance(cf, str) and any(k in cf for k in ("base_link", "body", "base")):
-                mode = "body"
+        rows, _ = raw_messages(db3, topics.mocap_odom)
+        times = [rel(ts) for ts, _ in rows]
+        res = native("decode_odometry_batch", [b for _, b in rows])
+        if res is not None:
+            fields, flags = res
+            pos = fields[:, 0:3]
+            quats = fields[:, 3:7]
+            lin = fields[:, 7:10]
+            ang = fields[:, 10:13]
+            mode = "body" if (len(flags) and flags[len(flags) // 2]) else None
+        else:
+            pos, quats, lin, ang, frames = [], [], [], [], []
+            for _, blob in rows:
+                m = cdr.decode_odometry(blob)
+                p = m.pose.pose.position
+                o = m.pose.pose.orientation
+                tw = m.twist.twist
+                pos.append((p.x, p.y, p.z))
+                quats.append((o.x, o.y, o.z, o.w))
+                lin.append((tw.linear.x, tw.linear.y, tw.linear.z))
+                ang.append((tw.angular.x, tw.angular.y, tw.angular.z))
+                frames.append(m.child_frame_id)
+            mode = None
+            if frames and any(frames):
+                cf = frames[len(frames) // 2]
+                if isinstance(cf, str) and any(k in cf for k in ("base_link", "body", "base")):
+                    mode = "body"
         if mode is None:
             mode = infer_twist_frame(times, pos, lin, quats, verbose)
         df_odom = odom_table(times, pos, quats, lin, ang, mode)
@@ -143,16 +184,25 @@ def read_bag_sqlite(
         )
 
     elif topics.px4_odom in tops:
-        rows = [
-            (rel(ts), tuple(m.position), (m.q[1], m.q[2], m.q[3], m.q[0]),
-             tuple(m.velocity), tuple(m.angular_velocity))
-            for ts, m in iter_messages(db3, topics.px4_odom)
-        ]
-        times = [r[0] for r in rows]
-        pos = ned_to_enu(np.asarray([r[1] for r in rows]))
-        quats = ned_quat_to_enu(np.asarray([r[2] for r in rows]))
-        lin = ned_to_enu(np.asarray([r[3] for r in rows]))
-        ang = ned_to_enu(np.asarray([r[4] for r in rows]))
+        raw, _ = raw_messages(db3, topics.px4_odom)
+        times = [rel(ts) for ts, _ in raw]
+        fields = native("decode_vehicle_odometry_batch", [b for _, b in raw])
+        if fields is None:
+            decoded = [cdr.decode_vehicle_odometry(b) for _, b in raw]
+            fields = np.asarray(
+                [
+                    (*m.position, *m.q, *m.velocity, *m.angular_velocity)
+                    for m in decoded
+                ],
+                np.float64,
+            )
+        pos_ned = np.asarray(fields[:, 0:3], np.float64)
+        q_wxyz = np.asarray(fields[:, 3:7], np.float64)
+        q_xyzw = np.concatenate([q_wxyz[:, 1:4], q_wxyz[:, 0:1]], axis=1)
+        pos = ned_to_enu(pos_ned)
+        quats = ned_quat_to_enu(q_xyzw)
+        lin = ned_to_enu(np.asarray(fields[:, 7:10], np.float64))
+        ang = ned_to_enu(np.asarray(fields[:, 10:13], np.float64))
         df_odom = odom_table(times, pos, quats, lin, ang, mode="parent")
 
     else:
@@ -163,15 +213,18 @@ def read_bag_sqlite(
 
     df_act = None
     if topics.px4_motors in tops:
-        rows = [
-            (rel(ts), tuple(m.control[:8]))
-            for ts, m in iter_messages(db3, topics.px4_motors)
-        ]
-        if rows:
-            times = [r[0] for r in rows]
-            raw = np.asarray([r[1] for r in rows], float)
-            actuator_diagnostics(raw, verbose)
-            df_act = actuator_table(times, raw)
+        raw, _ = raw_messages(db3, topics.px4_motors)
+        if raw:
+            times = [rel(ts) for ts, _ in raw]
+            controls = native("decode_actuator_motors_batch", [b for _, b in raw])
+            if controls is None:
+                controls = np.asarray(
+                    [cdr.decode_actuator_motors(b).control[:8] for _, b in raw],
+                    float,
+                )
+            controls = np.asarray(controls, float)
+            actuator_diagnostics(controls, verbose)
+            df_act = actuator_table(times, controls)
     elif verbose:
         info("Actuator topic not present.")
 
