@@ -111,12 +111,17 @@ def score_conventions(
 def compare_bag(bag_path, topics: BagTopics = BagTopics(),
                 sensor_combined_topic: Optional[str] = None,
                 align_tol: float = 0.03):
-    """Full pipeline on a rosbag2 recording (requires ``rosbags``)."""
+    """Full pipeline on a rosbag2 recording.
+
+    Uses the ``rosbags`` package when installed, else the built-in
+    sqlite3+CDR reader (:mod:`bag_sqlite`).
+    """
     try:
         from rosbags.highlevel import AnyReader
         from rosbags.typesys import Stores, get_typestore
-    except ImportError as e:  # pragma: no cover
-        raise ImportError("requires the optional 'rosbags' package") from e
+    except ImportError:
+        return _compare_bag_sqlite(bag_path, topics, sensor_combined_topic,
+                                   align_tol)
 
     from pathlib import Path
 
@@ -163,6 +168,58 @@ def compare_bag(bag_path, topics: BagTopics = BagTopics(),
                 f"Neither {sc_topic} nor {topics.px4_odom} present."
             )
         gy = np.asarray(gy, float)
+
+    return score_conventions(
+        mo[:, 0], mo[:, 5:8], mo[:, 1:5], gy[:, 0], gy[:, 1:4], align_tol
+    )
+
+
+def _compare_bag_sqlite(bag_path, topics: BagTopics,
+                        sensor_combined_topic: Optional[str],
+                        align_tol: float):
+    """Dependency-free extraction path (sqlite3 + minimal CDR codec)."""
+    import numpy as np
+
+    from bluerov2_dynamics_tpu.data.bag_sqlite import (
+        find_db3,
+        iter_messages,
+        topics_of,
+    )
+
+    db3 = find_db3(bag_path)
+    tops = topics_of(db3)
+    if topics.mocap_odom not in tops:
+        raise RuntimeError(
+            f"Missing {topics.mocap_odom}. Available: {sorted(tops)}"
+        )
+    sc_topic = sensor_combined_topic or topics.px4_odom.replace(
+        "vehicle_odometry", "sensor_combined"
+    )
+    t0 = None
+
+    def rel(ts):
+        nonlocal t0
+        if t0 is None:
+            t0 = ts
+        return (ts - t0) * 1e-9
+
+    mo = []
+    for ts, m in iter_messages(db3, topics.mocap_odom):
+        o = m.pose.pose.orientation
+        w = m.twist.twist.angular
+        mo.append((rel(ts), o.x, o.y, o.z, o.w, w.x, w.y, w.z))
+    mo = np.asarray(mo, float)
+
+    gy = []
+    if sc_topic in tops:
+        for ts, m in iter_messages(db3, sc_topic):
+            gy.append((rel(ts), *m.gyro_rad))
+    elif topics.px4_odom in tops:
+        for ts, m in iter_messages(db3, topics.px4_odom):
+            gy.append((rel(ts), *m.angular_velocity))
+    else:
+        raise RuntimeError(f"Neither {sc_topic} nor {topics.px4_odom} present.")
+    gy = np.asarray(gy, float)
 
     return score_conventions(
         mo[:, 0], mo[:, 5:8], mo[:, 1:5], gy[:, 0], gy[:, 1:4], align_tol

@@ -199,3 +199,53 @@ def test_missing_topics_raises(tmp_path):
     con.close()
     with pytest.raises(RuntimeError, match="No pose/odometry stream"):
         bag_sqlite.read_bag_sqlite(bag_dir, verbose=False)
+
+
+def test_compare_bag_sqlite_fallback(tmp_path, rng):
+    """R4 (frame discovery) end-to-end through the dependency-free reader:
+    a bag where the PX4 gyro equals the mocap body rates must score the
+    rotated/identity hypothesis highest."""
+    from bluerov2_dynamics_tpu.data import frames
+
+    bag_dir = tmp_path / "bag_frames"
+    bag_dir.mkdir()
+    con = sqlite3.connect(bag_dir / "f_0.db3")
+    con.executescript(ROSBAG2_SCHEMA)
+    topics = BagTopics()
+    con.execute(
+        "INSERT INTO topics VALUES (1, ?, 'nav_msgs/msg/Odometry', 'cdr', '')",
+        (topics.mocap_odom,),
+    )
+    con.execute(
+        "INSERT INTO topics VALUES (2, ?, 'px4_msgs/msg/VehicleOdometry', 'cdr', '')",
+        (topics.px4_odom,),
+    )
+    n = 300
+    t = np.arange(n) * 0.02
+    angles = np.stack([0.2 * np.sin(t), 0.1 * np.cos(t), 0.5 * t], axis=1)
+    q_wxyz = euler_to_quat_np(angles[:, 0], angles[:, 1], angles[:, 2])
+    # body rates measured by the gyro
+    G = np.stack([np.sin(3 * t), np.cos(2 * t), np.sin(5 * t)], axis=1)
+    # mocap twist expressed so quat_dcm(q) @ W = G ('rotated' hypothesis)
+    from bluerov2_dynamics_tpu.data.bag2csv import quat_dcm
+
+    q_xyzw = np.concatenate([q_wxyz[:, 1:4], q_wxyz[:, 0:1]], axis=1)
+    R = quat_dcm(q_xyzw)
+    W = np.einsum("nji,nj->ni", R, G)
+    mid = 1
+    for k in range(n):
+        blob = cdr.encode_odometry([0, 0, 0], q_xyzw[k], [0, 0, 0], W[k],
+                                   child_frame_id="odom")
+        con.execute("INSERT INTO messages VALUES (?, 1, ?, ?)",
+                    (mid, 1_000_000 + k * 20_000_000, blob)); mid += 1
+    for k in range(n):
+        blob = cdr.encode_vehicle_odometry([0, 0, 0], [1, 0, 0, 0],
+                                           [0, 0, 0], G[k])
+        con.execute("INSERT INTO messages VALUES (?, 2, ?, ?)",
+                    (mid, 1_000_000 + k * 20_000_000, blob)); mid += 1
+    con.commit()
+    con.close()
+
+    res = frames.compare_bag(bag_dir)
+    assert res["rotated"]["flip"] == "identity"
+    assert res["rotated"]["score"] > 2.9
