@@ -142,3 +142,102 @@ def endpoint_rmse_pallas(p, cfg, lag, X, U, dt, H, **kw):
     fn = make_endpoint_final_pallas(p, cfg, lag, dt, H, **kw)
     final = fn(X, U)
     return rmse(X[H:].astype(jnp.float32), final)
+
+
+def make_batched_rollout_pallas(
+    p: FossenParams,
+    cfg: ThrusterConfig,
+    lag: LagParams,
+    dt: float,
+    method: str = "rk4",
+    block_b: int = 512,
+    interpret: bool = False,
+    use_lag: bool = True,
+):
+    """Build ``fn(x0, U) -> xT`` for PER-TRAJECTORY input sequences.
+
+    ``x0``: ``(B, 12)``; ``U``: ``(T, B, 8)`` — each trajectory has its own
+    commands (unlike :func:`..ops.pallas_rollout.make_rollout_final_pallas`,
+    which shares one sequence across the batch).  Same VMEM-resident
+    structure as the endpoint evaluator: grid (blocks, T), state + lag in
+    scratch persisting over the time dimension, inputs streamed as aligned
+    pipelined blocks.
+    """
+    rhs = _make_rhs_const(p)
+    c1, c3, c5, c7, c9 = (_scalar(cfg.curve[i]) for i in range(5))
+    Wm = np.asarray(jax.device_get(cfg.wrench_map), np.float64).tolist()
+    Ad = np.asarray(jax.device_get(lag.Ad), np.float64).tolist()
+    Bd = np.asarray(jax.device_get(lag.Bd), np.float64).tolist()
+    cl = np.asarray(jax.device_get(lag.c), np.float64).tolist()
+
+    def kernel(u_ref, x_ref, out_ref, x_scr, l_scr):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            x_scr[:] = x_ref[:]
+            l_scr[:] = jnp.zeros_like(l_scr)
+
+        x = x_scr[:]
+        u = u_ref[0]
+        u2 = u * u
+        F_cmd = u * (c1 + u2 * (c3 + u2 * (c5 + u2 * (c7 + u2 * c9))))
+        if use_lag:
+            L = l_scr[:]
+            N0 = Ad[0][0] * L[0] + Ad[0][1] * L[1] + Ad[0][2] * L[2] + Bd[0] * F_cmd
+            N1 = Ad[1][0] * L[0] + Ad[1][1] * L[1] + Ad[1][2] * L[2] + Bd[1] * F_cmd
+            N2 = Ad[2][0] * L[0] + Ad[2][1] * L[1] + Ad[2][2] * L[2] + Bd[2] * F_cmd
+            F = cl[0] * N0 + cl[1] * N1 + cl[2] * N2
+            l_scr[:] = jnp.stack([N0, N1, N2])
+        else:
+            F = F_cmd
+        tau = tuple(
+            sum(Wm[j][i] * F[j] for j in range(8) if Wm[j][i] != 0.0)
+            for i in range(6)
+        )
+        if method == "euler":
+            x = x + dt * rhs(x, tau)
+        else:
+            k1 = rhs(x, tau)
+            k2 = rhs(x + (0.5 * dt) * k1, tau)
+            k3 = rhs(x + (0.5 * dt) * k2, tau)
+            k4 = rhs(x + dt * k3, tau)
+            x = x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        x_scr[:] = x
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _():
+            out_ref[:] = x_scr[:]
+
+    @jax.jit
+    def fn(x0, U):
+        B = x0.shape[0]
+        T = U.shape[0]
+        assert U.shape[1] == B and U.shape[2] == 8, "U must be (T, B, 8)"
+        b_pad = -(-B // block_b) * block_b
+        x0_t = x0.T.astype(jnp.float32)
+        ut = jnp.swapaxes(U, 1, 2).astype(jnp.float32)  # (T, 8, B)
+        if b_pad != B:
+            x0_t = jnp.pad(x0_t, ((0, 0), (0, b_pad - B)))
+            ut = jnp.pad(ut, ((0, 0), (0, 0), (0, b_pad - B)))
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((12, b_pad), jnp.float32),
+            grid=(b_pad // block_b, T),
+            in_specs=[
+                pl.BlockSpec((1, 8, block_b), lambda i, t: (t, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((12, block_b), lambda i, t: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((12, block_b), lambda i, t: (0, i),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((12, block_b), jnp.float32),
+                pltpu.VMEM((3, 8, block_b), jnp.float32),
+            ],
+            interpret=interpret,
+        )(ut, x0_t)
+        return out[:, :B].T
+
+    return fn

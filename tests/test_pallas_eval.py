@@ -64,3 +64,24 @@ def test_pallas_eval_padding(rng):
     final = np.asarray(fn(X, U))
     assert final.shape == (40, 12)
     assert np.all(np.isfinite(final))
+
+
+def test_batched_rollout_per_traj_inputs(rng):
+    """Per-trajectory-input VMEM rollout matches the canonical scan."""
+    from bluerov2_dynamics_tpu.ops.pallas_eval import make_batched_rollout_pallas
+    from bluerov2_dynamics_tpu.ops.integrators import rollout
+
+    dt = 0.02
+    p = fossen_params(dtype=jnp.float32)
+    cfg = thruster_config(dtype=jnp.float32)
+    lag = lag_params(dt, dtype=jnp.float32)
+    B, T = 12, 25
+    x0 = jnp.asarray(rng.normal(size=(B, 12)) * 0.3, jnp.float32)
+    U = jnp.asarray(np.clip(rng.normal(size=(T, B, 8)) * 0.5, -1, 1), jnp.float32)
+
+    fn = make_batched_rollout_pallas(p, cfg, lag, dt, method="rk4",
+                                     block_b=8, interpret=True)
+    got = np.asarray(fn(x0, U))
+    step = fossen.make_thruster_step(p, cfg, lag, dt, method="rk4")
+    (want, _), _ = rollout(step, (x0, jnp.zeros((B, 8, 3), jnp.float32)), U)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4, atol=2e-5)
