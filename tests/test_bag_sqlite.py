@@ -249,3 +249,16 @@ def test_compare_bag_sqlite_fallback(tmp_path, rng):
     res = frames.compare_bag(bag_dir)
     assert res["rotated"]["flip"] == "identity"
     assert res["rotated"]["score"] > 2.9
+
+
+def test_bag2csv_cli(tmp_path, rng, capsys):
+    """The bag2csv CLI end-to-end on a synthesized bag."""
+    from bluerov2_dynamics_tpu.data import bag2csv as b2c
+
+    bag_dir, *_ = _make_bag(tmp_path, rng, n=120)
+    out_base = tmp_path / "cli_out" / "dataset"
+    b2c.main([str(bag_dir), "--out", str(out_base), "--hz", "25"])
+    df = pd.read_csv(out_base.with_suffix(".csv"))
+    assert list(df.columns) == ["t"] + b2c.STATE_COLS + b2c.ACT_COLS
+    dts = np.diff(df["t"].to_numpy())
+    np.testing.assert_allclose(dts, 0.04, atol=1e-9)
