@@ -7,9 +7,8 @@ Replaces the per-script duplicated helpers of the reference training code
 from __future__ import annotations
 
 import argparse
-from typing import Callable, Dict, List, Sequence
+from typing import Callable, Dict, Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
 from bluerov2_dynamics_tpu.data import csv_loader

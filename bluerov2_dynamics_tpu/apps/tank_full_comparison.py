@@ -23,7 +23,6 @@ from bluerov2_dynamics_tpu.eval import metrics
 from bluerov2_dynamics_tpu.eval.timing import time_fn
 from bluerov2_dynamics_tpu.models import di, fossen, koopman, pinc
 from bluerov2_dynamics_tpu.models.params import fossen_params, lag_params, thruster_config
-from bluerov2_dynamics_tpu.ops.integrators import rollout
 from bluerov2_dynamics_tpu.utils.checkpoint import load_pytree, save_pytree
 from bluerov2_dynamics_tpu.utils.log import info, ok
 

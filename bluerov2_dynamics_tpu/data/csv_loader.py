@@ -16,7 +16,7 @@ median dt), matching the per-script loaders in the reference training code:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, NamedTuple, Optional
+from typing import List, NamedTuple
 
 import numpy as np
 import pandas as pd

@@ -14,7 +14,6 @@ import os
 from pathlib import Path
 
 import jax
-import jax.numpy as jnp
 from flax import serialization
 
 
