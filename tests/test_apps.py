@@ -171,3 +171,22 @@ def test_app_csv_directory_discovery(tmp_path, capsys):
     ])
     assert np.all(np.isfinite(out["pred"]))
     assert "koopman_dataset_50Hz.csv" in capsys.readouterr().out
+
+
+def test_animate_quat_trajectories(tmp_path, rng):
+    """The animator derives heading from the quaternion block of 13-state
+    trajectories."""
+    from bluerov2_dynamics_tpu.viz import animate_topdown
+    from bluerov2_dynamics_tpu.viz.animate import _yaw_of
+    from bluerov2_dynamics_tpu.data.csv_loader import euler_to_quat_np
+
+    T = 20
+    psi = np.linspace(0, 1.5, T)
+    q = euler_to_quat_np(np.zeros(T), np.zeros(T), psi)
+    traj13 = np.zeros((T, 13))
+    traj13[:, 0] = np.linspace(0, 2, T)
+    traj13[:, 3:7] = q
+    np.testing.assert_allclose(_yaw_of(traj13), psi, atol=1e-9)
+    gif = tmp_path / "q.gif"
+    animate_topdown({"quat": traj13}, dt=0.1, save_path=str(gif))
+    assert gif.exists()

@@ -311,3 +311,35 @@ def test_orbax_checkpoint_roundtrip(tmp_path, rng):
     restored = load_orbax(path, like=tree)
     for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_koopman_multistep_with_decoder(rng):
+    """multistep_rmse/evaluate route through the learned decoder when set."""
+    X, U, _ = _make_linear_system_data(rng, N=200)
+    X, U = jnp.asarray(X), jnp.asarray(U)
+    model = koopman.fit(jax.random.PRNGKey(0), X, U, n_rbfs=8, gamma=1.0, ridge=1e-6)
+    model_dec = koopman.fit_decoder(model, X, ridge=1e-8)
+    r_plain = float(koopman.multistep_rmse(model, X, U, 5))
+    r_dec = float(koopman.multistep_rmse(model_dec, X, U, 5))
+    assert np.isfinite(r_dec)
+    # a well-fit decoder should not be much worse than the slice readout
+    assert r_dec < 10 * max(r_plain, 1e-9)
+
+
+def test_koopman_simulate_batched(rng):
+    """Batched x0 (B, n) with per-trajectory inputs (T, B, r)."""
+    X, U, _ = _make_linear_system_data(rng, N=150)
+    model = koopman.fit(
+        jax.random.PRNGKey(0), jnp.asarray(X), jnp.asarray(U), n_rbfs=8,
+        gamma=1.0, ridge=1e-6,
+    )
+    B, T = 4, 10
+    x0 = jnp.asarray(X[:B])
+    Useq = jnp.asarray(rng.normal(size=(T, B, 2)))
+    traj = koopman.simulate(model, x0, Useq)
+    assert traj.shape == (T + 1, B, 4)
+    # batched result equals per-trajectory simulation
+    for b in range(B):
+        single = koopman.simulate(model, x0[b], Useq[:, b])
+        np.testing.assert_allclose(np.asarray(traj[:, b]), np.asarray(single),
+                                   atol=1e-9)
