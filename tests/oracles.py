@@ -216,3 +216,50 @@ def reduced_rhs_oracle(x9, u4):
     out[7] = (Z + (Z_w + Z_wc * abs(w)) * w + m * g - F_buoy) / (m - Z_wd)
     out[8] = (Mz - (X_ud - Y_vd) * u * v + (N_r + N_rc * abs(r)) * r) / (I_zz - N_rd)
     return out
+
+
+def wrench_rhs_euler12_params(x, tau, params, current=np.zeros(3)):
+    """Dense-matrix oracle with an arbitrary coefficient set.
+
+    ``params``: dict with m, g, rho, volume, cb(3), inertia(3), added(6),
+    dlin(6, negative convention), dquad(6, negative convention).
+    """
+    m = params["m"]
+    inertia = np.asarray(params["inertia"], float)
+    added = np.asarray(params["added"], float)
+    dlin = np.asarray(params["dlin"], float)
+    dquad = np.asarray(params["dquad"], float)
+    cb = np.asarray(params["cb"], float)
+    weight = m * params["g"]
+    buoy = params["rho"] * params["g"] * params["volume"]
+
+    eta, nu = x[:6], x[6:]
+    phi, theta, psi = eta[3:]
+    R = rot_zyx(phi, theta, psi)
+    nu_r = nu.copy()
+    nu_r[:3] -= R.T @ current
+
+    M = np.diag([m, m, m, *inertia]) - np.diag(added)
+    u, v, w, p, q, r = nu
+    v1, v2 = np.array([u, v, w]), np.array([p, q, r])
+    C = np.zeros((6, 6))
+    C[0:3, 3:6] = -m * skew(v1) + skew(added[:3] * v1)
+    C[3:6, 0:3] = -m * skew(v1) + skew(added[:3] * v1)
+    C[3:6, 3:6] = -skew(inertia * v2) + skew(added[3:] * v2)
+    D = np.diag(-dlin - dquad * np.abs(nu_r))
+
+    sphi, cphi = np.sin(phi), np.cos(phi)
+    sth, cth = np.sin(theta), np.cos(theta)
+    WB = weight - buoy
+    xb, yb, zb = cb
+    g_vec = np.array([
+        WB * sth,
+        -WB * cth * sphi,
+        -WB * cth * cphi,
+        yb * buoy * cth * cphi - zb * buoy * cth * sphi,
+        -zb * buoy * sth - xb * buoy * cth * cphi,
+        xb * buoy * cth * sphi + yb * buoy * sth,
+    ])
+    nudot = np.linalg.inv(M) @ (tau - C @ nu - D @ nu_r - g_vec)
+    etadot = np.concatenate([R @ nu[:3], j2_matrix(phi, theta) @ nu[3:]])
+    return np.concatenate([etadot, nudot])

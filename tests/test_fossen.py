@@ -241,3 +241,35 @@ def test_tf_to_ss_matches_scipy_lag_transfer_function():
         (LAG_AC, LAG_BC[:, None], LAG_C[None, :], np.zeros((1, 1))), w
     )
     np.testing.assert_allclose(np.abs(H_ours), np.abs(H_ref), rtol=2e-3)
+
+
+def test_wrench_rhs_with_random_parameter_sets(rng):
+    """Coefficient plumbing: the RHS must track ARBITRARY parameter sets,
+    not just the default Table A1 values (catches index/sign mix-ups in
+    the params constructor and the closed-form terms)."""
+    for trial in range(5):
+        prm = {
+            "m": float(rng.uniform(5, 30)),
+            "g": float(rng.uniform(9.0, 10.5)),
+            "rho": float(rng.uniform(900, 1100)),
+            "volume": float(rng.uniform(0.005, 0.03)),
+            "cb": rng.normal(size=3) * 0.05,
+            "inertia": rng.uniform(0.1, 0.8, size=3),
+            "added": -rng.uniform(0.05, 25.0, size=6),
+            "dlin": -rng.uniform(0.0, 40.0, size=6),
+            "dquad": -rng.uniform(0.0, 250.0, size=6),
+        }
+        current = rng.normal(size=3) * 0.2
+        p = fossen_params(
+            rho=prm["rho"], g=prm["g"], m=prm["m"], volume=prm["volume"],
+            cb=tuple(prm["cb"]), inertia=tuple(prm["inertia"]),
+            added=tuple(prm["added"]), damping_lin=tuple(prm["dlin"]),
+            damping_quad=tuple(prm["dquad"]), current=tuple(current),
+            dtype=jnp.float64,
+        )
+        X = _random_state12(rng, 8)
+        TAU = rng.normal(size=(8, 6)) * 10
+        got = np.asarray(fossen.wrench_rhs_euler(p, jnp.asarray(X), jnp.asarray(TAU)))
+        for i in range(8):
+            want = oracles.wrench_rhs_euler12_params(X[i], TAU[i], prm, current)
+            np.testing.assert_allclose(got[i], want, rtol=1e-9, atol=1e-10)
