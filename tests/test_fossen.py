@@ -273,3 +273,31 @@ def test_wrench_rhs_with_random_parameter_sets(rng):
         for i in range(8):
             want = oracles.wrench_rhs_euler12_params(X[i], TAU[i], prm, current)
             np.testing.assert_allclose(got[i], want, rtol=1e-9, atol=1e-10)
+
+
+def test_parameter_ensemble_vmap(rng):
+    """Parameter ensembles: vmap over the FossenParams pytree simulates a
+    population of vehicle hypotheses in one call (domain randomization /
+    system-ID sweeps) — free with the pure-function design."""
+    import jax
+
+    n_models = 6
+    masses = rng.uniform(10.0, 18.0, size=n_models)
+    # constructors run host-side; stack the resulting pytrees into a batch
+    params_list = [fossen_params(m=float(m), dtype=jnp.float64) for m in masses]
+    params_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+
+    x = jnp.asarray(_random_state12(rng, 1)[0])
+    tau = jnp.asarray(rng.normal(size=6) * 5)
+    xdots = jax.vmap(lambda p: fossen.wrench_rhs_euler(p, x, tau))(params_batch)
+    assert xdots.shape == (n_models, 12)
+    # each row equals the single-params evaluation
+    for i, m in enumerate(masses):
+        single = fossen.wrench_rhs_euler(
+            fossen_params(m=float(m), dtype=jnp.float64), x, tau
+        )
+        np.testing.assert_allclose(np.asarray(xdots[i]), np.asarray(single),
+                                   atol=1e-12)
+    # heavier vehicles accelerate less under the same wrench
+    acc_mag = np.linalg.norm(np.asarray(xdots[:, 6:9]), axis=1)
+    assert acc_mag[np.argmax(masses)] < acc_mag[np.argmin(masses)]
