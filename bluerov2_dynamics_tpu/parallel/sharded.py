@@ -110,6 +110,54 @@ def shardmap_endpoint_rmse(mesh: Mesh, step: Callable, X, U, H: int,
     return jnp.sqrt(sq_total / (n_start * n))
 
 
+def sharded_koopman_multistep_rmse(
+    mesh: Mesh,
+    model,
+    X,
+    U,
+    H: int,
+    data_axis: str = "data",
+    model_axis: str = "model",
+):
+    """TP+DP endpoint H-step Koopman RMSE over all N-H starts.
+
+    Same semantics as :func:`bluerov2_dynamics_tpu.models.koopman.multistep_rmse`
+    (reference ``Koopman/koopmanEDMDc.py:172-200``), laid out for a 2-D mesh:
+    the (d, d) Koopman operator is sharded over ``model_axis`` (tensor
+    parallelism over the lift dimension — d=512 for the tank config), the
+    start-index batch over ``data_axis``; XLA inserts the contraction
+    collectives from the annotations.
+    """
+    from bluerov2_dynamics_tpu.eval.metrics import rmse
+    from bluerov2_dynamics_tpu.models import koopman
+
+    n_start = X.shape[0] - H
+    repl = NamedSharding(mesh, P())
+    batch = NamedSharding(mesh, P(data_axis))
+    op_sharding = NamedSharding(mesh, P(model_axis, None))
+
+    model_s = jax.tree.map(lambda a: jax.device_put(a, repl), model)
+    model_s = model_s._replace(A=jax.device_put(model.A, op_sharding))
+    X_r = jax.device_put(X, repl)
+    U_r = jax.device_put(U, repl)
+
+    @partial(jax.jit, static_argnums=(3,))
+    def run(model, X, U, H):
+        Z = jax.lax.with_sharding_constraint(
+            koopman.lift(model, X[:n_start]), batch
+        )
+        A_T, B_T = model.A.T, model.B.T
+
+        def body(Z, t):
+            u_t = jax.lax.dynamic_slice_in_dim(U, t, n_start, axis=0)
+            return Z @ A_T + u_t @ B_T, None
+
+        Z, _ = jax.lax.scan(body, Z, jnp.arange(H))
+        return rmse(X[H:], koopman.decode(model, Z))
+
+    return run(model_s, X_r, U_r, H)
+
+
 def sharded_koopman_fit(
     mesh: Mesh,
     key,

@@ -1,12 +1,22 @@
-"""Regression tests for the driver entry points (__graft_entry__.py)."""
+"""Regression tests for the driver entry points (__graft_entry__.py).
 
+The subprocess tests reproduce the DRIVER's environment exactly (production
+``JAX_PLATFORMS``, no ``XLA_FLAGS``, no conftest) — round 1's only red
+artifact was a dryrun that passed in-suite but crashed in the driver env
+because the virtual CPU mesh was provisioned by conftest, not by
+``dryrun_multichip`` itself.
+"""
+
+import os
+import subprocess
 import sys
 from pathlib import Path
 
 import numpy as np
 import jax
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 
 import __graft_entry__ as graft
 
@@ -26,3 +36,50 @@ def test_dryrun_multichip_8():
 
 def test_dryrun_multichip_2():
     graft.dryrun_multichip(2)
+
+
+def _run_in_production_env(body: str, extra_env=None) -> None:
+    """Run a python snippet in a fresh subprocess with the conftest's env
+    tweaks undone: production JAX_PLATFORMS restored, XLA_FLAGS cleared."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    # conftest set JAX_PLATFORMS=cpu only if unset; restore the production
+    # default (the axon plugin env) so the subprocess sees what the driver
+    # sees.  If the machine never had the plugin, plain unset is the
+    # production default.
+    if os.path.isdir("/root/.axon_site"):
+        env["JAX_PLATFORMS"] = "axon"
+    else:
+        env.pop("JAX_PLATFORMS", None)
+    if extra_env:
+        env.update(extra_env)
+    proc = subprocess.run(
+        [sys.executable, "-c", body],
+        cwd=str(REPO),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"subprocess failed (rc={proc.returncode})\n"
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    )
+
+
+def test_dryrun_multichip_driver_contract():
+    """The exact call the driver makes, in the exact env the driver has."""
+    _run_in_production_env(
+        "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"
+    )
+
+
+def test_dryrun_multichip_after_backend_init():
+    """dryrun must recover even if something already initialised the live
+    single-device backend in the same process (clear + re-provision path)."""
+    _run_in_production_env(
+        "import jax\n"
+        "assert len(jax.devices()) < 8  # live backend: too few devices\n"
+        "import __graft_entry__\n"
+        "__graft_entry__.dryrun_multichip(8)\n"
+    )

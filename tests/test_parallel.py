@@ -92,6 +92,80 @@ def test_dp_gradient_allreduce(rng, mesh):
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_local), atol=1e-12)
 
 
+# ---------------------------------------------------------------------------
+# Workload-shape tests: the real tank configuration sizes
+# (d = 512 lift = 500 RBFs + 12 state, N ~ 45k starts, H = 100, 36k-row fit;
+#  cf. Koopman/koopmanEDMDc.py:172-200 scale, best_results.txt:798-801)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    return make_mesh(shape=(4, 2), axis_names=("data", "model"))
+
+
+def test_workload_koopman_tp_multistep_d512_matches_single_device(rng, mesh2d):
+    """d=512 Koopman operator TP-sharded over 'model', 2048 starts over
+    'data', H=100 — must agree with the single-device evaluator to 1e-6."""
+    from bluerov2_dynamics_tpu.models import koopman
+    from bluerov2_dynamics_tpu.models.koopman import KoopmanModel
+    from bluerov2_dynamics_tpu.parallel.sharded import (
+        sharded_koopman_multistep_rmse,
+    )
+
+    n_state, k_rbfs, r, H = 12, 500, 8, 100
+    d = n_state + k_rbfs
+    N = 2048 + H
+    model = KoopmanModel(
+        centers=jnp.asarray(rng.normal(size=(k_rbfs, n_state))),
+        gamma=jnp.asarray(3.0),
+        A=jnp.asarray(0.99 * np.eye(d) + 0.001 * rng.normal(size=(d, d))),
+        B=jnp.asarray(0.01 * rng.normal(size=(d, r))),
+    )
+    X = jnp.asarray(rng.normal(size=(N, n_state)))
+    U = jnp.asarray(rng.normal(size=(N, r)))
+    want = float(koopman.multistep_rmse(model, X, U, H))
+    got = float(sharded_koopman_multistep_rmse(mesh2d, model, X, U, H))
+    assert np.isfinite(want)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_workload_physics_endpoint_45k_starts_h100(rng, mesh):
+    """shard_map endpoint evaluator at the tank-recording scale: 44.8k
+    start indices, H=100 RK4 steps — vs the single-device evaluator."""
+    p = fossen_params(dtype=jnp.float64)
+    step = fossen.make_wrench_step(p, 0.02, method="rk4")
+    H = 100
+    N = 44_800 + H  # n_start = 44,800 divisible by the 8-device axis
+    X = jnp.asarray(rng.normal(size=(N, 12)) * 0.1)
+    TAU = jnp.asarray(rng.normal(size=(N, 6)))
+    want = float(metrics.endpoint_rmse(step, X, TAU, H))
+    got = float(shardmap_endpoint_rmse(mesh, step, X, TAU, H))
+    assert np.isfinite(want)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_workload_sharded_fit_36k_rows_500_rbfs(rng, mesh):
+    """Row-sharded Koopman fit at the tank scale (36k snapshot rows,
+    500 RBFs, gamma=3, ridge=1e-1 — train_tank_brov2_koopmanEDMDc.py:26-28)
+    must reproduce the single-device fit."""
+    from bluerov2_dynamics_tpu.models import koopman
+    from bluerov2_dynamics_tpu.parallel.sharded import sharded_koopman_fit
+
+    n_rows = 36_000
+    X = jnp.asarray(0.5 * rng.normal(size=(n_rows, 12)))
+    U = jnp.asarray(rng.normal(size=(n_rows, 8)))
+    key = jax.random.PRNGKey(0)
+    single = koopman.fit(key, X, U, n_rbfs=500, gamma=3.0, ridge=1e-1)
+    shard = sharded_koopman_fit(mesh, key, X, U, n_rbfs=500, gamma=3.0,
+                                ridge=1e-1)
+    np.testing.assert_allclose(np.asarray(shard.centers),
+                               np.asarray(single.centers), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(shard.A), np.asarray(single.A),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(shard.B), np.asarray(single.B),
+                               atol=1e-6)
+
+
 def test_sharded_koopman_fit_matches_single_device(rng, mesh):
     from bluerov2_dynamics_tpu.models import koopman
     from bluerov2_dynamics_tpu.parallel.sharded import sharded_koopman_fit
