@@ -12,7 +12,7 @@ from typing import Callable, Dict, Sequence
 import numpy as np
 
 from bluerov2_dynamics_tpu.data import csv_loader
-from bluerov2_dynamics_tpu.eval.timing import time_fn
+from bluerov2_dynamics_tpu.eval.timing import time_fn, time_fn_cold_warm
 from bluerov2_dynamics_tpu.utils.log import info, ok
 
 HORIZONS = (1, 10, 100)
@@ -79,16 +79,20 @@ def timed_metric_table(
     in the reference's format (``train_tank_brov2_full_comparison.py:996-1009``).
 
     ``evaluators``: name -> fn(H) returning the endpoint RMSE (jittable).
-    Returns ``(rmse[name][H], seconds[name][H])``.
+    Returns ``(rmse[name][H], warm_seconds[name][H])``; cold (compile-
+    included) and warm (steady-state) timings are printed as separate
+    tables so TPU compile time is never conflated with execution time.
     """
     rmses: Dict[str, Dict[int, float]] = {}
     times: Dict[str, Dict[int, float]] = {}
+    cold_times: Dict[str, Dict[int, float]] = {}
     for name, fn in evaluators.items():
-        rmses[name], times[name] = {}, {}
+        rmses[name], times[name], cold_times[name] = {}, {}, {}
         for H in horizons:
-            val, dt_s = time_fn(fn, H, warmup=1, iters=1)
+            val, cold_s, warm_s = time_fn_cold_warm(fn, H, iters=1)
             rmses[name][H] = float(val)
-            times[name][H] = dt_s
+            times[name][H] = warm_s
+            cold_times[name][H] = cold_s
 
     names = list(evaluators)
     print("\n[metrics] Endpoint RMSE (identical evaluator):")
@@ -103,21 +107,28 @@ def timed_metric_table(
         )
         print(row)
 
-    print("\n[timings] Metric evaluation time (s, jit-compiled, after warmup):")
+    print("\n[timings] Metric evaluation, warm (s, steady-state execution):")
     for n in names:
         row = f"  {n:<21} |" + "|".join(
             f" {times[n][H]:>13.4f} " for H in horizons
         )
         print(row)
+    print("[timings] Metric evaluation, cold (s, first call incl. jit compile):")
+    for n in names:
+        row = f"  {n:<21} |" + "|".join(
+            f" {cold_times[n][H]:>13.4f} " for H in horizons
+        )
+        print(row)
     return rmses, times
 
 
-def print_rollout_timings(timings: Dict[str, float]):
+def print_rollout_timings(timings: Dict[str, tuple]):
+    """``timings``: name -> (cold_seconds, warm_seconds)."""
     print("\n[timings] Open-loop rollout time:")
-    print("  Model                 | Rollout time [s]")
-    print("  ----------------------|-----------------:")
-    for n, t in timings.items():
-        print(f"  {n:<21} | {t:16.6f}")
+    print("  Model                 |    warm [s] | cold+compile [s]")
+    print("  ----------------------|------------:|-----------------:")
+    for n, (cold, warm) in timings.items():
+        print(f"  {n:<21} | {warm:11.6f} | {cold:16.6f}")
 
 
 def open_loop_window(X_test: np.ndarray, horizon: int):
@@ -128,5 +139,12 @@ def open_loop_window(X_test: np.ndarray, horizon: int):
     return start, horizon
 
 
-def summarize_fit(name: str, seconds: float):
-    ok(f"{name} fitted. (fit time = {seconds:.3f} s)")
+def summarize_fit(name: str, cold_seconds: float, warm_seconds: float = None):
+    """Report fit timing; ``cold`` includes jit compilation, ``warm`` is a
+    steady-state refit (the number comparable to the reference's CPU fit
+    times, ``best_results.txt:798``)."""
+    if warm_seconds is None:
+        ok(f"{name} fitted. (fit time = {cold_seconds:.3f} s)")
+    else:
+        ok(f"{name} fitted. (warm fit = {warm_seconds:.3f} s, "
+           f"cold incl. compile = {cold_seconds:.3f} s)")

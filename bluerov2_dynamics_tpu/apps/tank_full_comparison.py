@@ -20,7 +20,7 @@ from bluerov2_dynamics_tpu.apps import common
 from bluerov2_dynamics_tpu.apps.tank_koopman import fossen_evaluator
 from bluerov2_dynamics_tpu.data import csv_loader
 from bluerov2_dynamics_tpu.eval import metrics
-from bluerov2_dynamics_tpu.eval.timing import time_fn
+from bluerov2_dynamics_tpu.eval.timing import time_fn, time_fn_cold_warm
 from bluerov2_dynamics_tpu.models import di, fossen, koopman, pinc
 from bluerov2_dynamics_tpu.models.params import fossen_params, lag_params, thruster_config
 from bluerov2_dynamics_tpu.utils.checkpoint import load_pytree, save_pytree
@@ -48,19 +48,18 @@ def main(argv=None):
     U_te = jnp.asarray(test.U, jnp.float32)
 
     # ---------------- fits (timed) ----------------
-    model, t_koop = time_fn(
+    model, t_koop_cold, t_koop = time_fn_cold_warm(
         lambda: koopman.fit(
             jax.random.PRNGKey(args.seed), X_tr, U_tr,
             n_rbfs=args.n_rbfs, gamma=args.gamma, ridge=args.ridge,
         ),
-        warmup=0,
     )
-    common.summarize_fit("Koopman", t_koop)
+    common.summarize_fit("Koopman", t_koop_cold, t_koop)
 
-    gains, t_di = time_fn(
-        lambda: di.estimate_gains(X_tr, U_tr, dt, ridge=1e-3), warmup=0
+    gains, t_di_cold, t_di = time_fn_cold_warm(
+        lambda: di.estimate_gains(X_tr, U_tr, dt, ridge=1e-3)
     )
-    common.summarize_fit("Double Integrator", t_di)
+    common.summarize_fit("Double Integrator", t_di_cold, t_di)
 
     cfg = thruster_config()
     lag = lag_params(dt)
@@ -96,8 +95,10 @@ def main(argv=None):
         ok(f"Saved PINc checkpoint -> {ckpt}")
     ok(f"PINc ready. (fit/load time = {t_pinc:.3f} s)")
 
-    print("\n[timings] Train/Fit (s): "
+    print("\n[timings] Train/Fit, warm (s): "
           f"Koopman {t_koop:.4f} | Fossen 0.0000 | DI {t_di:.4f} | PINc {t_pinc:.4f}")
+    print("[timings] Train/Fit, cold incl. compile (s): "
+          f"Koopman {t_koop_cold:.4f} | Fossen 0.0000 | DI {t_di_cold:.4f}")
 
     # ---------------- metrics ----------------
     U4_te = pinc.wrench4_from_thrusters(cfg, lag, U_te)
@@ -120,21 +121,21 @@ def main(argv=None):
     x0 = X_te[start]
     U_seq = U_te[start : start + horizon]
 
-    predK, tK = time_fn(lambda: koopman.simulate(model, x0, U_seq))
+    predK, tKc, tK = time_fn_cold_warm(lambda: koopman.simulate(model, x0, U_seq))
     p = fossen_params()
     sim_fossen = jax.jit(
         lambda x0, U: fossen.simulate_thruster(p, cfg, lag, x0, U, dt,
                                                method=args.integrator)
     )
-    predF, tF = time_fn(sim_fossen, x0, U_seq)
+    predF, tFc, tF = time_fn_cold_warm(sim_fossen, x0, U_seq)
     di_variant = "euler12" if args.integrator == "euler" else "euler12_rk4"
     sim_di = jax.jit(lambda x0, U: di.simulate(gains, x0, U, dt, variant=di_variant))
-    predD, tD = time_fn(sim_di, x0, U_seq)
+    predD, tDc, tD = time_fn_cold_warm(sim_di, x0, U_seq)
     sim_pinc = jax.jit(lambda x0, U4: pinc.simulate(net, params, x0, U4, dt))
-    predP, tP = time_fn(sim_pinc, x0, U4_te[start : start + horizon])
+    predP, tPc, tP = time_fn_cold_warm(sim_pinc, x0, U4_te[start : start + horizon])
     common.print_rollout_timings(
-        {"Koopman": tK, "Fossen (BlueROV2)": tF, "Double Integrator": tD,
-         "PINc (ResDNN)": tP}
+        {"Koopman": (tKc, tK), "Fossen (BlueROV2)": (tFc, tF),
+         "Double Integrator": (tDc, tD), "PINc (ResDNN)": (tPc, tP)}
     )
 
     true = test.X[start : start + horizon + 1]

@@ -16,7 +16,7 @@ import numpy as np
 from bluerov2_dynamics_tpu.apps import common
 from bluerov2_dynamics_tpu.data import csv_loader
 from bluerov2_dynamics_tpu.eval import metrics
-from bluerov2_dynamics_tpu.eval.timing import time_fn
+from bluerov2_dynamics_tpu.eval.timing import time_fn_cold_warm
 from bluerov2_dynamics_tpu.models import di, fossen, koopman
 from bluerov2_dynamics_tpu.models.params import fossen_params
 from bluerov2_dynamics_tpu.ops.integrators import rollout
@@ -50,16 +50,16 @@ def main(argv=None):
     X_te = jnp.asarray(test.X, jnp.float32)
     U_te = jnp.asarray(test.U, jnp.float32)
 
-    model, t_koop = time_fn(
+    model, t_koop_cold, t_koop = time_fn_cold_warm(
         lambda: koopman.fit(
             jax.random.PRNGKey(args.seed), X_tr, U_tr,
             n_rbfs=args.n_rbfs, gamma=args.gamma, ridge=args.ridge,
         ),
-        warmup=0,
     )
-    common.summarize_fit("Koopman", t_koop)
-    gains, t_di = time_fn(lambda: di.estimate_gains(X_tr, U_tr, dt), warmup=0)
-    common.summarize_fit("Double Integrator", t_di)
+    common.summarize_fit("Koopman", t_koop_cold, t_koop)
+    gains, t_di_cold, t_di = time_fn_cold_warm(
+        lambda: di.estimate_gains(X_tr, U_tr, dt))
+    common.summarize_fit("Double Integrator", t_di_cold, t_di)
 
     p = fossen_params()
     fossen_step = fossen.make_wrench_step(p, dt, method="euler", state="euler12")
