@@ -28,6 +28,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                     help="file name searched for when --csv is a directory")
     ap.add_argument("--synthetic", action="store_true",
                     help="generate a simulated dataset instead of loading a CSV")
+    ap.add_argument("--recording", action="store_true",
+                    help="with --synthetic: generate the pseudo tank "
+                         "recording (perturbed generator coefficients, "
+                         "yaw-winding commands, sensor noise) instead of "
+                         "the nominal-parameter sim dataset")
+    ap.add_argument("--coeff-jitter", type=float, default=0.10,
+                    help="generator coefficient perturbation for --recording")
     ap.add_argument("--steps", type=int, default=20_000,
                     help="synthetic dataset length")
     ap.add_argument("--dt", type=float, default=0.02,
@@ -49,12 +56,23 @@ def load_or_generate(args, loader: Callable = csv_loader.load_thruster_dataset):
     if args.synthetic or args.csv is None:
         import jax
 
-        from bluerov2_dynamics_tpu.data.synthetic import generate_sim_dataset
-
-        info(f"Generating synthetic dataset: {args.steps} steps @ dt={args.dt}")
-        sim = generate_sim_dataset(
-            jax.random.PRNGKey(args.seed), n_steps=args.steps, dt=args.dt
+        from bluerov2_dynamics_tpu.data.synthetic import (
+            generate_sim_dataset,
+            generate_tank_recording,
         )
+
+        if getattr(args, "recording", False):
+            info(f"Generating pseudo tank recording: {args.steps} steps @ "
+                 f"dt={args.dt} (coeff jitter +-{args.coeff_jitter:.0%})")
+            sim = generate_tank_recording(
+                jax.random.PRNGKey(args.seed), n_steps=args.steps, dt=args.dt,
+                jitter=args.coeff_jitter,
+            )
+        else:
+            info(f"Generating synthetic dataset: {args.steps} steps @ dt={args.dt}")
+            sim = generate_sim_dataset(
+                jax.random.PRNGKey(args.seed), n_steps=args.steps, dt=args.dt
+            )
         return csv_loader.Dataset(
             X=np.asarray(sim.X, np.float64),
             U=np.asarray(sim.U, np.float64),

@@ -96,3 +96,127 @@ def generate_sim_dataset(
     )
     X = X_true + sigma * jax.random.normal(k_n, X_true.shape, dtype)
     return SimDataset(X=X, X_true=X_true, U=U, dt=dt)
+
+
+def perturbed_fossen_params(key, jitter: float = 0.10, dtype=jnp.float32) -> FossenParams:
+    """Table A1 coefficients with +-``jitter`` multiplicative perturbation.
+
+    Used by :func:`generate_tank_recording` so the *generator* dynamics
+    differ from the nominal parameter set every evaluated model assumes —
+    a dataset generated with the nominal set is trivially won by the
+    nominal Fossen model (the generator IS the model), which makes the
+    accuracy ordering uninformative.  Perturbing mass/volume/inertia,
+    added mass, and damping emulates the real-vehicle model mismatch of
+    the tank recordings.
+    """
+    draws = jax.random.uniform(key, (23,), minval=1.0 - jitter, maxval=1.0 + jitter)
+    d = [float(v) for v in draws]
+    return fossen_params(
+        m=13.5 * d[0],
+        volume=0.0134 * d[1],
+        inertia=(0.26 * d[2], 0.23 * d[3], 0.37 * d[4]),
+        added=tuple(a * s for a, s in
+                    zip((-6.36, -7.12, -18.68, -0.189, -0.135, -0.222), d[5:11])),
+        damping_lin=tuple(a * s for a, s in
+                          zip((-13.7, -0.0, -33.0, -0.0, -0.8, -0.0), d[11:17])),
+        damping_quad=tuple(a * s for a, s in
+                           zip((-141.0, -217.0, -190.0, -1.19, -0.47, -1.5), d[17:23])),
+        dtype=dtype,
+    )
+
+
+def generate_tank_recording(
+    key,
+    n_steps: int = 45_823,
+    dt: float = 0.02,
+    jitter: float = 0.10,
+    yaw_drive: float = 0.05,
+    pos_noise: float = 1e-3,
+    ang_noise: float = 2e-3,
+    vel_noise: float = 1e-3,
+    angvel_noise: float = 2e-3,
+    method: str = "euler",
+    dtype=jnp.float32,
+) -> SimDataset:
+    """Pseudo tank recording: a validation dataset the evaluated models
+    cannot trivially reproduce.
+
+    Emulates the characteristics of the (git-LFS-absent) 45,823-row 50 Hz
+    tank CSV the reference's blessed numbers were measured on
+    (``training/best_results.txt:3,222``):
+
+    * the generator integrates **perturbed** (+-``jitter``) coefficients,
+      so the nominal Fossen model evaluated by the apps is NOT the
+      generator (real-vehicle model mismatch);
+    * the AR(1) thruster commands carry a slowly-modulated differential
+      yaw bias on T1-T4, so psi winds far beyond +-pi — the real recording
+      reached 1217 deg (``best_results.txt:814``); states record unwrapped
+      Euler angles and are never wrapped during metrics;
+    * mocap-scale Gaussian sensor noise on all recorded channels.
+    """
+    k_p, k_u, k_n, k_x0 = jax.random.split(key, 4)
+    p_gen = perturbed_fossen_params(k_p, jitter, dtype=dtype)
+    cfg = thruster_config(dtype=dtype)
+    lag = lag_params(dt, dtype=dtype)
+
+    # Pilot-like command model (the tank recordings are manually flown):
+    # AR(1) exploration noise + a differential yaw bias on the vectored
+    # horizontal thrusters (mostly oscillating, with a small net drift so
+    # psi winds steadily in one direction) + a proportional depth hold on
+    # the vertical thrusters (the perturbed buoyancy would otherwise drift
+    # the vehicle out of the tank).
+    yaw_pattern = jnp.sign(cfg.wrench_map[:, 5]).at[4:].set(0.0)
+    vert_pattern = jnp.zeros(8, dtype).at[4:].set(1.0)
+    # Differential vertical patterns producing +roll / +pitch moments per
+    # unit command (PX4 stabilised the real vehicle's attitude; without a
+    # rate loop the model's zero linear roll damping lets the AR(1) noise
+    # pump the roll pendulum until it tumbles).
+    roll_pattern = jnp.zeros(8, dtype).at[4:].set(jnp.sign(cfg.wrench_map[4:, 3]))
+    pitch_pattern = jnp.zeros(8, dtype).at[4:].set(jnp.sign(cfg.wrench_map[4:, 4]))
+    t = jnp.arange(n_steps, dtype=dtype) * dt
+    bias = yaw_drive * (0.02 + 0.98 * jnp.sin(2.0 * jnp.pi * t / 240.0))
+
+    step = make_thruster_step(p_gen, cfg, lag, dt, method=method)
+    x0 = 0.05 * jax.random.normal(k_x0, (12,), dtype)
+    keys = jax.random.split(k_u, n_steps)
+    kz, kw = dtype(0.25), dtype(0.4)
+    kp_att, kd_att = dtype(1.0), dtype(0.4)
+
+    @jax.jit
+    def run(x0):
+        def body(carry, inp):
+            x, lag_state, u_ar = carry
+            k, b_t = inp
+            u_ar = jnp.clip(
+                0.98 * u_ar + 0.02 * jax.random.normal(k, (8,), dtype), -1.0, 1.0
+            )
+            depth_cmd = jnp.clip(kz * x[2] + kw * x[8], -0.6, 0.6)
+            roll_cmd = jnp.clip(-kp_att * x[3] - kd_att * x[9], -0.4, 0.4)
+            pitch_cmd = jnp.clip(-kp_att * x[4] - kd_att * x[10], -0.4, 0.4)
+            u = jnp.clip(
+                u_ar
+                + b_t * yaw_pattern
+                + depth_cmd * vert_pattern
+                + roll_cmd * roll_pattern
+                + pitch_cmd * pitch_pattern,
+                -1.0,
+                1.0,
+            )
+            x, lag_state = step((x, lag_state), u)
+            return (x, lag_state, u_ar), (x, u)
+
+        carry0 = (x0, jnp.zeros((8, 3), dtype), jnp.zeros(8, dtype))
+        _, (X_true, U) = jax.lax.scan(body, carry0, (keys, bias))
+        return X_true, U
+
+    X_true, U = run(x0)
+    sigma = jnp.concatenate(
+        [
+            jnp.full(3, pos_noise, dtype),
+            jnp.full(3, ang_noise, dtype),
+            jnp.full(3, vel_noise, dtype),
+            jnp.full(3, angvel_noise, dtype),
+        ]
+    )
+    X = X_true + sigma * jax.random.normal(k_n, X_true.shape, dtype)
+    return SimDataset(X=X, X_true=X_true, U=U, dt=dt)

@@ -156,6 +156,47 @@ def test_synthetic_dataset(rng):
     assert np.abs(du).max() < 0.2
 
 
+def test_tank_recording_dataset(rng):
+    """The pseudo tank recording: generator must differ from the nominal
+    model, psi must wind beyond +-pi, attitude/depth must stay bounded."""
+    import jax.numpy as jnp
+
+    from bluerov2_dynamics_tpu.eval import metrics
+    from bluerov2_dynamics_tpu.models import fossen
+    from bluerov2_dynamics_tpu.models.params import (
+        fossen_params, lag_params, thruster_config,
+    )
+
+    n = 20_000
+    ds = synthetic.generate_tank_recording(jax.random.PRNGKey(0), n_steps=n,
+                                           dt=0.02)
+    X = np.asarray(ds.X)
+    assert X.shape == (n, 12) and np.all(np.isfinite(X))
+    assert np.max(np.abs(np.asarray(ds.U))) <= 1.0
+    # psi winds far beyond +-pi (the real recording reached 1217 deg)
+    assert np.degrees(X[:, 5].max() - X[:, 5].min()) > 720.0
+    # piloted flight: bounded attitude and depth
+    assert np.degrees(np.abs(X[:, 3:5]).max()) < 30.0
+    assert np.abs(X[:, 2]).max() < 5.0
+    # the generator is NOT the nominal model: coefficients are perturbed
+    # (within the jitter bound), and the stepped dynamics differ on
+    # identical (state, lag, input)
+    k_p = jax.random.split(jax.random.PRNGKey(0), 4)[0]
+    pp = synthetic.perturbed_fossen_params(k_p, jitter=0.10)
+    p = fossen_params()
+    rel = np.abs(np.asarray(pp.added) / np.asarray(p.added) - 1.0)
+    assert rel.max() > 0.01 and rel.max() <= 0.10 + 1e-6
+    cfg, lag = thruster_config(), lag_params(0.02)
+    step_nom = fossen.make_thruster_step(p, cfg, lag, 0.02, method="euler")
+    step_gen = fossen.make_thruster_step(pp, cfg, lag, 0.02, method="euler")
+    x = jnp.asarray(ds.X_true[1000], jnp.float32)
+    lag0 = jnp.zeros((8, 3), jnp.float32)
+    u = jnp.asarray(ds.U[1000], jnp.float32)
+    xn, _ = step_nom((x, lag0), u)
+    xg, _ = step_gen((x, lag0), u)
+    assert float(metrics.rmse(xn, xg)) > 1e-6
+
+
 def test_sanity_checks_on_consistent_data(rng):
     """Synthetic physics data must pass the kinematic-consistency check."""
     ds = synthetic.generate_sim_dataset(
