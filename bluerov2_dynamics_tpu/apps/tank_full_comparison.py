@@ -34,7 +34,19 @@ def main(argv=None):
     ap.add_argument("--pinc-hidden", type=int, nargs="+", default=[64, 64, 64, 64])
     ap.add_argument("--pinc-normalize", action="store_true",
                     help="standardize PINc inputs (improvement over the reference)")
+    ap.add_argument("--pinc-position-invariant", action="store_true",
+                    help="mask x,y,z from the PINc MLP input (improvement)")
+    ap.add_argument("--pinc-lr-schedule", choices=["const", "cosine"],
+                    default="const",
+                    help="PINc learning-rate schedule (cosine = improvement)")
+    ap.add_argument("--pinc-psi-ssa", action="store_true",
+                    help="also report PINc RMSE with the yaw error wrapped to "
+                         "the smallest signed angle (the reference scores raw "
+                         "unwrapped psi)")
     ap.add_argument("--integrator", choices=["euler", "rk4"], default="euler")
+    ap.add_argument("--media-prefix", type=str, default="",
+                    help="filename prefix for saved media (lets the RK4 "
+                         "workload keep separate artifacts)")
     args = ap.parse_args(argv)
 
     ds = common.load_or_generate(args, csv_loader.load_thruster_dataset)
@@ -76,12 +88,18 @@ def main(argv=None):
         net, _ = pinc.init_params(
             jax.random.PRNGKey(args.seed + 1), hidden,
             norm_mu=restored["norm_mu"], norm_sigma=restored["norm_sigma"],
+            position_invariant=args.pinc_position_invariant,
         )
         t_pinc = 0.0
     else:
         info("Training PINc (no checkpoint found).")
         data = pinc.make_dataset(X_tr, U_tr, dt, cfg, lag)
-        tc = pinc.TrainConfig(epochs=args.pinc_epochs, normalize=args.pinc_normalize)
+        tc = pinc.TrainConfig(
+            epochs=args.pinc_epochs,
+            normalize=args.pinc_normalize,
+            position_invariant=args.pinc_position_invariant,
+            lr_schedule=args.pinc_lr_schedule,
+        )
 
         def train_pinc():
             return pinc.train(jax.random.PRNGKey(args.seed + 1), data, tc, hidden)
@@ -114,6 +132,10 @@ def main(argv=None):
         "Double Integrator": lambda H: metrics.endpoint_rmse(di_step, X_te, U_te, H),
         "PINc (ResDNN)": lambda H: pinc.endpoint_rmse(net, params, X_te, U4_te, dt, H),
     }
+    if args.pinc_psi_ssa:
+        evaluators["PINc (ssa psi)"] = lambda H: pinc.endpoint_rmse(
+            net, params, X_te, U4_te, dt, H, psi_error="ssa"
+        )
     rmses, _times = common.timed_metric_table(evaluators)
 
     # ---------------- open-loop rollouts (timed) ----------------
@@ -151,13 +173,13 @@ def main(argv=None):
 
         animate_topdown(
             trajs, dt=dt,
-            save_path=f"{args.media_dir}/tank_true_vs_4models.gif",
+            save_path=f"{args.media_dir}/{args.media_prefix}tank_true_vs_4models.gif",
             title="Recorded data: True vs. Koopman / Fossen / DI / PINc",
         )
         plot_topdown_with_depth(
             {k: v for k, v in trajs.items() if "PINc" not in k},
             dt=dt, seconds=10.0,
-            save_path=f"{args.media_dir}/tank_true_vs_4models_2D.png",
+            save_path=f"{args.media_dir}/{args.media_prefix}tank_true_vs_4models_2D.png",
         )
     return {"rmses": rmses, "trajs": trajs}
 

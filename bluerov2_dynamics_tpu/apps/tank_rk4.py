@@ -18,6 +18,8 @@ def main(argv=None):
         import sys
 
         argv = sys.argv[1:]
+    if "--media-prefix" not in argv:
+        extra += ["--media-prefix", "rk4_"]
     return tank_full_comparison.main(argv + extra)
 
 

@@ -2,8 +2,16 @@
 
 Replaces the reference's ``perf_counter`` bracketing
 (``train_tank_brov2_full_comparison.py:928-930, 977-1009``) with a
-``block_until_ready``-correct version: JAX dispatch is asynchronous, so
-timings must synchronise on the result.
+completion-correct version.  Two platform facts shape it:
+
+* JAX dispatch is asynchronous, so timings must synchronise on the result;
+* on the tunneled TPU platform used here, ``jax.block_until_ready`` can
+  return before the remote execution has actually finished (measured: an
+  unchained loop of 45 ms kernels "completes" in 0.1 ms/call, while the
+  backlog drains minutes later).  Reading an element of the result back to
+  the host IS a completion barrier, so every timed call ends with a small
+  host readback (~ms on the tunnel; negligible against the >=10 ms
+  workloads timed here, and it serialises repeated calls correctly).
 """
 
 from __future__ import annotations
@@ -12,21 +20,33 @@ import time
 from typing import Callable
 
 import jax
+import numpy as np
+
+
+def sync(result):
+    """Force completion of ``result``'s computation (host readback of one
+    element of the first array leaf); returns ``result``."""
+    jax.block_until_ready(result)
+    for leaf in jax.tree.leaves(result):
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            np.asarray(jax.device_get(leaf.ravel()[0]))
+            break
+    return result
 
 
 def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 1, **kwargs):
     """Time ``fn(*args, **kwargs)``, returning ``(result, seconds_per_call)``.
 
     ``warmup`` calls are discarded (the first includes compilation);
-    ``iters`` timed calls are averaged.  All calls synchronise via
-    ``block_until_ready`` on the output pytree.
+    ``iters`` timed calls are averaged.  Every call is completion-forced
+    via :func:`sync`.
     """
     result = None
     for _ in range(max(warmup, 0)):
-        result = jax.block_until_ready(fn(*args, **kwargs))
+        result = sync(fn(*args, **kwargs))
     t0 = time.perf_counter()
     for _ in range(max(iters, 1)):
-        result = jax.block_until_ready(fn(*args, **kwargs))
+        result = sync(fn(*args, **kwargs))
     dt = (time.perf_counter() - t0) / max(iters, 1)
     return result, dt
 
@@ -42,10 +62,10 @@ def time_fn_cold_warm(fn: Callable, *args, iters: int = 1, **kwargs):
     two columns separately.
     """
     t0 = time.perf_counter()
-    result = jax.block_until_ready(fn(*args, **kwargs))
+    result = sync(fn(*args, **kwargs))
     cold = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(max(iters, 1)):
-        result = jax.block_until_ready(fn(*args, **kwargs))
+        result = sync(fn(*args, **kwargs))
     warm = (time.perf_counter() - t0) / max(iters, 1)
     return result, cold, warm

@@ -277,12 +277,28 @@ class TrainConfig(NamedTuple):
     rollout_weight: float = 1.0
     normalize: bool = False     # standardize MLP inputs (improvement; see PINcNet)
     position_invariant: bool = False  # mask x,y,z from the MLP input (improvement)
+    lr_schedule: str = "const"  # "const" (reference) or "cosine" (improvement)
 
 
-def make_optimizer(tc: TrainConfig):
+def make_optimizer(tc: TrainConfig, total_steps: int | None = None):
+    """AdamW + global-norm clip (``train_tank_brov2_full_comparison.py:790-835``).
+
+    ``lr_schedule='cosine'`` (improvement, default off) adds 5% linear
+    warmup and cosine decay to ``0.01 * lr`` over ``total_steps``.
+    """
+    if tc.lr_schedule == "cosine" and total_steps:
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=tc.lr,
+            warmup_steps=max(total_steps // 20, 1),
+            decay_steps=total_steps,
+            end_value=0.01 * tc.lr,
+        )
+    else:
+        lr = tc.lr
     return optax.chain(
         optax.clip_by_global_norm(tc.clip_norm),
-        optax.adamw(tc.lr),
+        optax.adamw(lr),
     )
 
 
@@ -310,11 +326,10 @@ def train(
         init_key, hidden, dtype=data.z.dtype, norm_mu=mu, norm_sigma=sigma,
         position_invariant=tc.position_invariant,
     )
-    opt = make_optimizer(tc)
-    opt_state = opt.init(params)
-
     N = data.z.shape[0]
     n_batches = max(N // tc.batch, 1)
+    opt = make_optimizer(tc, total_steps=tc.epochs * n_batches)
+    opt_state = opt.init(params)
     use_rollout = tc.rollout_weight > 0 and tc.rollout_steps > 0 and N > tc.rollout_steps + 1
 
     def loss_fn(params, z_b, y_b, u4_b, z_win):

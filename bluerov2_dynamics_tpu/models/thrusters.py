@@ -27,6 +27,12 @@ def static_thrust(cfg: ThrusterConfig, V):
     ``F = 8.9 V + 176 V^3 - 404.1 V^5 + 389.9 V^7 - 140.3 V^9``
     (``fossen/BlueROV2.py:234-243``), evaluated in Horner form on V^2.
     Natively batched over any shape.
+
+    This is also the reference's legacy lag-free curve
+    ``_old_thruster_force_from_input`` (``fossen/BlueROV2.py:234-246``,
+    dead code there): the polynomial is identical; the production path
+    merely feeds it through the lag filter.  Parity pinned in
+    ``tests/test_reference_parity.py::test_legacy_static_thrust_curve_parity``.
     """
     c1, c3, c5, c7, c9 = (cfg.curve[i] for i in range(5))
     V2 = V * V

@@ -262,3 +262,32 @@ def test_bag2csv_cli(tmp_path, rng, capsys):
     assert list(df.columns) == ["t"] + b2c.STATE_COLS + b2c.ACT_COLS
     dts = np.diff(df["t"].to_numpy())
     np.testing.assert_allclose(dts, 0.04, atol=1e-9)
+
+
+def test_bag2csv_parquet_output(tmp_path, rng):
+    """--parquet writes a parquet twin of the CSV with identical contents
+    (reference feature at rosbags/bag2csv.py:467-482)."""
+    pytest.importorskip("pyarrow")
+    from bluerov2_dynamics_tpu.data import bag2csv as b2c
+
+    bag_dir, *_ = _make_bag(tmp_path, rng, n=150)
+    out_base = tmp_path / "pq_out" / "dataset"
+    b2c.main([str(bag_dir), "--out", str(out_base), "--parquet"])
+    pq_path = out_base.with_suffix(".parquet")
+    assert pq_path.exists()
+    df_csv = pd.read_csv(out_base.with_suffix(".csv"))
+    df_pq = pd.read_parquet(pq_path)
+    assert list(df_pq.columns) == list(df_csv.columns)
+    np.testing.assert_allclose(df_pq.to_numpy(), df_csv.to_numpy(), atol=1e-12)
+
+
+def test_bag2csv_quicklook_video(tmp_path, rng):
+    """--video writes the top-down quicklook animation
+    (reference feature at rosbags/bag2csv.py:483-559)."""
+    from bluerov2_dynamics_tpu.data import bag2csv as b2c
+
+    bag_dir, *_ = _make_bag(tmp_path, rng, n=120)
+    out_base = tmp_path / "vid_out" / "dataset"
+    video = tmp_path / "vid_out" / "quicklook.gif"
+    b2c.main([str(bag_dir), "--out", str(out_base), "--video", str(video)])
+    assert video.exists() and video.stat().st_size > 1000

@@ -75,11 +75,17 @@ def test_dryrun_multichip_driver_contract():
 
 
 def test_dryrun_multichip_after_backend_init():
-    """dryrun must recover even if something already initialised the live
-    single-device backend in the same process (clear + re-provision path)."""
+    """dryrun must recover even if something already initialised a live
+    single-device backend in the same process (clear + re-provision path).
+
+    Uses a 1-device CPU backend as the pre-initialised platform (NOT the
+    tunneled TPU: the suite must not depend on tunnel health; the
+    clear+reinit code path is identical)."""
     _run_in_production_env(
         "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
         "assert len(jax.devices()) < 8  # live backend: too few devices\n"
         "import __graft_entry__\n"
-        "__graft_entry__.dryrun_multichip(8)\n"
+        "__graft_entry__.dryrun_multichip(8)\n",
+        extra_env={"JAX_PLATFORMS": "cpu"},
     )

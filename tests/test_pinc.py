@@ -182,3 +182,24 @@ def test_endpoint_rmse_psi_modes(rng):
     assert fair < raw
     # raw error is dominated by the ~4*pi wrap on the psi channel
     assert raw > 4 * np.pi / np.sqrt(12) * 0.8
+
+
+def test_pinc_cosine_schedule_trains(rng):
+    """lr_schedule='cosine' (warmup + decay) trains and converges; the
+    final-epoch loss is at least as good as the constant-lr run's."""
+    X9, U4 = _synthetic_reduced_data(rng)
+    dt = 0.05
+    X9 = jnp.asarray(X9, jnp.float32)
+    U4 = jnp.asarray(U4, jnp.float32)
+    z = jnp.concatenate([X9[:-1], U4[:-1], jnp.full((len(X9) - 1, 1), dt)], axis=1)
+    data = pinc.PINcData(z=z, y=X9[1:], u4=U4[:-1])
+    kwargs = dict(epochs=40, batch=128, lr=3e-3, rollout_steps=5,
+                  rollout_windows=8, physics_weight=0.0)
+    _, _, hist_const = pinc.train(
+        jax.random.PRNGKey(0), data, pinc.TrainConfig(**kwargs))
+    _, _, hist_cos = pinc.train(
+        jax.random.PRNGKey(0), data,
+        pinc.TrainConfig(lr_schedule="cosine", **kwargs))
+    assert np.isfinite(hist_cos).all()
+    assert hist_cos[-1] < 0.05 * hist_cos[0]          # converges
+    assert hist_cos[-1] < 3.0 * hist_const[-1]        # competitive

@@ -372,3 +372,18 @@ def test_t200_fit_parity(rng):
     got = t200.fit_forward_reverse(pwm, thrust_kgf)
     np.testing.assert_allclose(got.pos_coeff, want.pos_coeff, atol=1e-8)
     np.testing.assert_allclose(got.neg_coeff, want.neg_coeff, atol=1e-8)
+
+
+def test_legacy_static_thrust_curve_parity(rng):
+    """static_thrust == the reference's lag-free legacy curve
+    ``_old_thruster_force_from_input`` (``fossen/BlueROV2.py:234-243``) on a
+    dense command grid (closes SURVEY P4's last item)."""
+    from fossen.BlueROV2 import BlueROV2
+
+    from bluerov2_dynamics_tpu.models.thrusters import static_thrust
+
+    ref = BlueROV2(dt=0.02)
+    V = np.linspace(-1.0, 1.0, 401)
+    want = np.array([ref._old_thruster_force_from_input(v) for v in V])
+    got = np.asarray(static_thrust(CFG64, jnp.asarray(V)))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
