@@ -88,6 +88,9 @@ def _clean_and_extract(
 def _read(csv_path, verbose: bool) -> pd.DataFrame:
     if verbose:
         info(f"Loading: {csv_path}")
+    if str(csv_path).endswith(".parquet"):
+        # bag2csv can emit a parquet twin (--parquet); accept it directly
+        return pd.read_parquet(csv_path)
     return pd.read_csv(csv_path)
 
 

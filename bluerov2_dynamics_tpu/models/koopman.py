@@ -61,7 +61,8 @@ def lift(model: KoopmanModel, X):
 def decode(model: KoopmanModel, Z):
     """Readout lifted states back to state space."""
     if model.decoder is not None:
-        return Z @ model.decoder.T
+        with jax.default_matmul_precision("highest"):
+            return Z @ model.decoder.T
     return Z[..., : model.state_dim]
 
 
@@ -165,7 +166,11 @@ def fit_decoder(model: KoopmanModel, X, ridge: float = 1e-8) -> KoopmanModel:
 def evaluate(model: KoopmanModel, X, U):
     """One-step RMSE in state space (``koopmanEDMDc.py:157-170``)."""
     Z = lift(model, X[:-1])
-    Z_next = Z @ model.A.T + U[:-1] @ model.B.T
+    # HIGHEST matmul precision: lifted states carry raw state entries
+    # (psi can be tens of rads on unwrapped recordings); the TPU-default
+    # bf16 passes lose ~0.4% relative, swamping sub-1e-2 RMSE metrics.
+    with jax.default_matmul_precision("highest"):
+        Z_next = Z @ model.A.T + U[:-1] @ model.B.T
     return rmse(X[1:], decode(model, Z_next))
 
 
@@ -186,7 +191,8 @@ def multistep_rmse(model: KoopmanModel, X, U, H: int = 10):
 
     def body(Z, t):
         u_t = jax.lax.dynamic_slice_in_dim(U, t, n_start, axis=0)
-        return Z @ A_T + u_t @ B_T, None
+        with jax.default_matmul_precision("highest"):  # see multistep note
+            return Z @ A_T + u_t @ B_T, None
 
     Z, _ = jax.lax.scan(body, Z, jnp.arange(H))
     return rmse(X[H:], decode(model, Z))
@@ -204,7 +210,8 @@ def simulate(model: KoopmanModel, x0, U_seq):
     z0 = lift(model, x0)
 
     def body(z, u):
-        z = z @ model.A.T + u @ model.B.T
+        with jax.default_matmul_precision("highest"):  # see multistep note
+            z = z @ model.A.T + u @ model.B.T
         return z, decode(model, z)
 
     _, xs = jax.lax.scan(body, z0, U_seq)

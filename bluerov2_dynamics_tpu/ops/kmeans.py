@@ -18,11 +18,16 @@ import jax.numpy as jnp
 
 
 def _pairwise_sqdist(X, C):
-    """Squared Euclidean distances (N, k) via the Gram expansion."""
+    """Squared Euclidean distances (N, k) via the Gram expansion.
+
+    HIGHEST matmul precision + clamp at zero: at the TPU-default bf16
+    matmul precision the expansion cancels catastrophically for states
+    far from the origin (see ops/lifting.py for the failure mode).
+    """
     x2 = jnp.sum(X * X, axis=1)[:, None]
     c2 = jnp.sum(C * C, axis=1)[None, :]
-    cross = X @ C.T
-    return x2 + c2 - 2.0 * cross
+    cross = jnp.matmul(X, C.T, precision=jax.lax.Precision.HIGHEST)
+    return jnp.maximum(x2 + c2 - 2.0 * cross, 0.0)
 
 
 def _kmeanspp_init(key, X, k: int):

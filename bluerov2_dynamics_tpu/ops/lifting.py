@@ -6,11 +6,21 @@ The Gaussian-RBF dictionary lift of the reference
 computed as one GEMM over the batch via the Gram expansion
 ``||x||^2 + ||c||^2 - 2 x @ C^T`` — already the MXU-friendly form; kept
 natively batched over arbitrary leading dimensions.
+
+TPU numerics note: the cross-term GEMM runs at HIGHEST matmul precision
+(f32 via multi-pass bf16).  At the TPU default (single-pass bf16) the
+Gram expansion cancels catastrophically for states far from the origin —
+a tank recording with psi wound to ~60 rad gives ``||x||^2 ~ 3.8e3`` and
+bf16 products err by ~10, so the "squared distance" comes out at -26 and
+``exp(-gamma * sqdist)`` overflows to 1e33 and the downstream ridge solve
+to NaN.  The distance is additionally clamped at zero (exact arithmetic
+guarantees sqdist >= 0; floating point does not).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 
 def rbf_features(X, centers, gamma):
@@ -20,8 +30,10 @@ def rbf_features(X, centers, gamma):
     """
     x2 = jnp.sum(X * X, axis=-1, keepdims=True)          # (..., 1)
     c2 = jnp.sum(centers * centers, axis=-1)             # (k,)
-    cross = X @ centers.T                                # (..., k) — MXU
-    return jnp.exp(-gamma * (x2 + c2 - 2.0 * cross))
+    cross = jnp.matmul(X, centers.T,
+                       precision=lax.Precision.HIGHEST)  # (..., k) — MXU
+    sqdist = jnp.maximum(x2 + c2 - 2.0 * cross, 0.0)
+    return jnp.exp(-gamma * sqdist)
 
 
 def rbf_lift(X, centers, gamma):

@@ -150,7 +150,8 @@ def sharded_koopman_multistep_rmse(
 
         def body(Z, t):
             u_t = jax.lax.dynamic_slice_in_dim(U, t, n_start, axis=0)
-            return Z @ A_T + u_t @ B_T, None
+            with jax.default_matmul_precision("highest"):
+                return Z @ A_T + u_t @ B_T, None
 
         Z, _ = jax.lax.scan(body, Z, jnp.arange(H))
         return rmse(X[H:], koopman.decode(model, Z))

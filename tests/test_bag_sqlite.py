@@ -291,3 +291,17 @@ def test_bag2csv_quicklook_video(tmp_path, rng):
     video = tmp_path / "vid_out" / "quicklook.gif"
     b2c.main([str(bag_dir), "--out", str(out_base), "--video", str(video)])
     assert video.exists() and video.stat().st_size > 1000
+
+
+def test_loader_accepts_parquet(tmp_path, rng):
+    """The training loader consumes the parquet twin directly."""
+    pytest.importorskip("pyarrow")
+    from bluerov2_dynamics_tpu.data import bag2csv as b2c
+
+    bag_dir, *_ = _make_bag(tmp_path, rng, n=150)
+    out_base = tmp_path / "pq2" / "dataset"
+    b2c.main([str(bag_dir), "--out", str(out_base), "--parquet"])
+    ds_pq = load_thruster_dataset(out_base.with_suffix(".parquet"), verbose=False)
+    ds_csv = load_thruster_dataset(out_base.with_suffix(".csv"), verbose=False)
+    np.testing.assert_allclose(ds_pq.X, ds_csv.X, atol=1e-12)
+    np.testing.assert_allclose(ds_pq.U, ds_csv.U, atol=1e-12)
