@@ -47,6 +47,14 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     ap.add_argument("--n-rbfs", type=int, default=500)
     ap.add_argument("--gamma", type=float, default=3.0)
     ap.add_argument("--ridge", type=float, default=1e-1)
+    ap.add_argument("--sweep", action="store_true",
+                    help="fit every (gamma, ridge) combination as one "
+                         "vmapped solve and keep the best on a validation "
+                         "tail (TPU-native extension; see koopman.fit_sweep)")
+    ap.add_argument("--sweep-gammas", type=float, nargs="+",
+                    default=[0.5, 1.0, 3.0, 10.0])
+    ap.add_argument("--sweep-ridges", type=float, nargs="+",
+                    default=[1e-3, 1e-2, 1e-1])
     ap.add_argument("--seed", type=int, default=0)
     return ap
 
@@ -87,6 +95,48 @@ def load_or_generate(args, loader: Callable = csv_loader.load_thruster_dataset):
             csv_path, getattr(args, "csv_name", "koopman_dataset_50Hz.csv")
         )
     return loader(csv_path)
+
+
+def fit_koopman_from_args(args, key, X_tr, U_tr):
+    """Fit the Koopman model per CLI args, timed cold/warm.
+
+    Default: one fit at (--gamma, --ridge).  With ``--sweep``: every
+    (gamma, ridge) combination is fitted as ONE vmapped solve
+    (``koopman.fit_sweep``) and scored by endpoint H=10 RMSE on the last
+    20% of the training split (``koopman.select_best``) — model selection
+    the reference's sequential scripts cannot express.
+
+    Returns ``(model, cold_seconds, warm_seconds)``.
+    """
+    from bluerov2_dynamics_tpu.models import koopman
+
+    if not getattr(args, "sweep", False):
+        model, cold, warm = time_fn_cold_warm(
+            lambda: koopman.fit(
+                key, X_tr, U_tr,
+                n_rbfs=args.n_rbfs, gamma=args.gamma, ridge=args.ridge,
+            )
+        )
+        return model, cold, warm
+
+    n_val = max(int(0.2 * len(X_tr)), max(HORIZONS) + 1)
+    X_fit, U_fit = X_tr[:-n_val], U_tr[:-n_val]
+    X_val, U_val = X_tr[-n_val:], U_tr[-n_val:]
+
+    def fit():
+        models, combos = koopman.fit_sweep(
+            key, X_fit, U_fit, n_rbfs=args.n_rbfs,
+            gammas=tuple(args.sweep_gammas), ridges=tuple(args.sweep_ridges),
+        )
+        best, combo, rmses = koopman.select_best(models, combos, X_val, U_val, H=10)
+        return best, combo, rmses
+
+    (model, combo, rmses), cold, warm = time_fn_cold_warm(fit)
+    info(f"Sweep over {len(args.sweep_gammas)}x{len(args.sweep_ridges)} "
+         f"(gamma, ridge) combos -> best gamma={float(combo[0]):g} "
+         f"ridge={float(combo[1]):g} (val H=10 RMSE "
+         f"{float(min(rmses)):.6f}, worst {float(max(rmses)):.6f})")
+    return model, cold, warm
 
 
 def timed_metric_table(

@@ -68,14 +68,10 @@ def main(argv=None):
     train, test = csv_loader.train_test_split(ds, args.train_split)
     info(f"Train: {len(train.X)} | Test: {len(test.X)}")
 
-    from bluerov2_dynamics_tpu.eval.timing import time_fn_cold_warm
-
-    fit = lambda: koopman.fit(
-        jax.random.PRNGKey(args.seed),
+    model, t_fit_cold, t_fit = common.fit_koopman_from_args(
+        args, jax.random.PRNGKey(args.seed),
         jnp.asarray(train.X, jnp.float32), jnp.asarray(train.U, jnp.float32),
-        n_rbfs=args.n_rbfs, gamma=args.gamma, ridge=args.ridge,
     )
-    model, t_fit_cold, t_fit = time_fn_cold_warm(fit)
     common.summarize_fit("Koopman", t_fit_cold, t_fit)
 
     X_test = jnp.asarray(test.X, jnp.float32)

@@ -39,6 +39,19 @@ def test_tank_koopman_app(tmp_path, capsys):
     assert "Koopman" in text and "Fossen" in text
 
 
+def test_tank_koopman_sweep_flag(tmp_path, capsys):
+    """--sweep fits all (gamma, ridge) combos vmapped and reports the pick."""
+    from bluerov2_dynamics_tpu.apps import tank_koopman
+
+    out = tank_koopman.main(_args(tmp_path, [
+        "--sweep", "--sweep-gammas", "1.0", "3.0",
+        "--sweep-ridges", "1e-3", "1e-1",
+    ]))
+    assert np.all(np.isfinite(out["pred"]))
+    text = capsys.readouterr().out
+    assert "Sweep over 2x2" in text and "best gamma=" in text
+
+
 def test_tank_wrench_comp_app(tmp_path, capsys):
     from bluerov2_dynamics_tpu.apps import tank_wrench_comp
 

@@ -195,3 +195,26 @@ def test_rollout_batched_matches_loop(rng):
         for t in range(10):
             x = ops.rk4_step(rhs, x, us[t, b], 0.05)
         np.testing.assert_allclose(np.asarray(traj[-1, b]), np.asarray(x), atol=1e-12)
+
+
+def test_rbf_features_oracle_and_bounds(rng):
+    """RBF lift vs the naive per-pair distance oracle; values stay in
+    (0, 1] even for states far from the origin (regression guard for the
+    TPU bf16 Gram-expansion cancellation fixed in ops/lifting.py — on
+    CPU this pins the clamp + exactness contract)."""
+    from bluerov2_dynamics_tpu.ops.lifting import rbf_features, rbf_lift
+
+    X = jnp.asarray(rng.normal(size=(40, 12)) * 20.0)   # far from origin
+    X = X.at[:, 5].add(60.0)                            # wound psi regime
+    C = jnp.asarray(rng.normal(size=(7, 12)) * 20.0)
+    got = np.asarray(rbf_features(X, C, 3.0))
+    want = np.exp(-3.0 * ((np.asarray(X)[:, None, :] - np.asarray(C)[None]) ** 2).sum(-1))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-12)
+    assert got.max() <= 1.0 and got.min() >= 0.0
+    # exact 1 at a center
+    at_c = np.asarray(rbf_features(C, C, 3.0))
+    np.testing.assert_allclose(np.diag(at_c), 1.0, atol=0)
+    # full lift layout [x, rbf]
+    Z = np.asarray(rbf_lift(X, C, 3.0))
+    np.testing.assert_allclose(Z[:, :12], np.asarray(X), atol=0)
+    np.testing.assert_allclose(Z[:, 12:], got, atol=0)
