@@ -39,6 +39,36 @@ def test_tank_koopman_app(tmp_path, capsys):
     assert "Koopman" in text and "Fossen" in text
 
 
+def test_tank_koopman_multi_csv(tmp_path, capsys):
+    """--extra-csv fits multiple recordings jointly (fit_multi path)."""
+    import jax
+    import pandas as pd
+
+    from bluerov2_dynamics_tpu.apps import tank_koopman
+    from bluerov2_dynamics_tpu.data.synthetic import generate_sim_dataset
+
+    # write two small recordings as CSVs
+    cols = ["x", "y", "z", "phi", "theta", "psi",
+            "u", "v", "w", "p", "q", "r"] + [f"u{i}" for i in range(1, 9)]
+    paths = []
+    for seed in (1, 2):
+        ds = generate_sim_dataset(jax.random.PRNGKey(seed), n_steps=400, dt=0.02)
+        df = pd.DataFrame(np.c_[np.asarray(ds.X), np.asarray(ds.U)], columns=cols)
+        df.insert(0, "t", np.arange(400) * 0.02)
+        path = tmp_path / f"rec{seed}.csv"
+        df.to_csv(path, index=False)
+        paths.append(str(path))
+
+    out = tank_koopman.main([
+        "--csv", paths[0], "--extra-csv", paths[1],
+        "--n-rbfs", "20", "--open-loop-steps", "40", "--no-media",
+        "--media-dir", str(tmp_path / "media"),
+    ])
+    assert np.all(np.isfinite(out["pred"]))
+    text = capsys.readouterr().out
+    assert "Multi-trajectory fit over 2 recordings" in text
+
+
 def test_tank_koopman_sweep_flag(tmp_path, capsys):
     """--sweep fits all (gamma, ridge) combos vmapped and reports the pick."""
     from bluerov2_dynamics_tpu.apps import tank_koopman
