@@ -287,14 +287,31 @@ def run_full():
 
 
 def main():
-    if "--full" in sys.argv:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--full", action="store_true",
+                    help="also print the secondary benchmark JSON lines")
+    ap.add_argument("--batch", type=int, default=65536)
+    ap.add_argument("--t", type=int, default=500, help="rollout length")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--block-b", type=int, default=1024,
+                    help="Pallas kernel batch block size")
+    args = ap.parse_args()
+    if args.batch < 1 or args.t < 1 or args.iters < 1:
+        ap.error("--batch, --t, and --iters must be >= 1")
+
+    if args.full:
         run_full()
     try:
-        steps_per_sec, elapsed = run_pallas()
+        steps_per_sec, elapsed = run_pallas(
+            batch=args.batch, T=args.t, iters=args.iters, block_b=args.block_b
+        )
     except Exception as e:  # pragma: no cover - platform fallback
         print(f"[warn] pallas path failed ({type(e).__name__}: {e}); "
               "falling back to XLA scan", file=sys.stderr)
-        steps_per_sec, elapsed = run()
+        steps_per_sec, elapsed = run(batch=args.batch, T=args.t,
+                                     iters=args.iters)
     print(
         json.dumps(
             {

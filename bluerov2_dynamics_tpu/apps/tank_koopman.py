@@ -62,6 +62,10 @@ def fossen_evaluator(dt, X_test, U_test, method="euler"):
 def main(argv=None):
     ap = common.base_parser(__doc__)
     ap.add_argument("--physics-baseline", action="store_true")
+    ap.add_argument("--decoder", action="store_true",
+                    help="learn a linear decoder x ~ W z instead of the "
+                         "first-n-coordinates readout (the reference's "
+                         "commented-out capability, koopmanEDMDc.py:105-111)")
     ap.add_argument("--extra-csv", nargs="*", default=[],
                     help="additional recording CSVs used as extra TRAINING "
                          "trajectories; fitted jointly without cross-file "
@@ -98,6 +102,9 @@ def main(argv=None):
             jnp.asarray(train.X, jnp.float32), jnp.asarray(train.U, jnp.float32),
         )
     common.summarize_fit("Koopman", t_fit_cold, t_fit)
+    if args.decoder:
+        model = koopman.fit_decoder(model, jnp.asarray(train.X, jnp.float32))
+        info("Learned linear decoder fitted (x ~ W z readout).")
 
     X_test = jnp.asarray(test.X, jnp.float32)
     U_test = jnp.asarray(test.U, jnp.float32)

@@ -150,11 +150,18 @@ def fit_multi(
     return _fit_from_blocks(Z, Zp, Uc, centers, gamma_arr, ridge)
 
 
-def fit_decoder(model: KoopmanModel, X, ridge: float = 1e-8) -> KoopmanModel:
+def fit_decoder(model: KoopmanModel, X, ridge: float = 1e-6) -> KoopmanModel:
     """Learn a linear decoder ``x ~ W z`` (optional capability; the
-    reference sketches it at ``koopmanEDMDc.py:105-111, 244-246``)."""
+    reference sketches it at ``koopmanEDMDc.py:105-111, 244-246``).
+
+    ``ridge`` is RELATIVE to the mean Gram diagonal: the lifted features
+    are highly correlated (RBF dictionary), so an absolute 1e-8 ridge can
+    leave the f32 Cholesky of ``Z^T Z`` non-positive-definite and the
+    decoder NaN.
+    """
     Z = lift(model, X)
-    W = _ridge_solve(Z, X, ridge)  # (d, n)
+    scale = jnp.mean(jnp.sum(Z * Z, axis=0))
+    W = _ridge_solve(Z, X, ridge * scale)  # (d, n)
     return model._replace(decoder=W.T)
 
 

@@ -69,6 +69,15 @@ def test_tank_koopman_multi_csv(tmp_path, capsys):
     assert "Multi-trajectory fit over 2 recordings" in text
 
 
+def test_tank_koopman_decoder_flag(tmp_path, capsys):
+    """--decoder learns the linear readout (reference's sketched capability)."""
+    from bluerov2_dynamics_tpu.apps import tank_koopman
+
+    out = tank_koopman.main(_args(tmp_path, ["--decoder"]))
+    assert np.all(np.isfinite(out["pred"]))
+    assert "Learned linear decoder" in capsys.readouterr().out
+
+
 def test_tank_koopman_sweep_flag(tmp_path, capsys):
     """--sweep fits all (gamma, ridge) combos vmapped and reports the pick."""
     from bluerov2_dynamics_tpu.apps import tank_koopman

@@ -89,3 +89,25 @@ def test_dryrun_multichip_after_backend_init():
         "__graft_entry__.dryrun_multichip(8)\n",
         extra_env={"JAX_PLATFORMS": "cpu"},
     )
+
+
+def test_bench_prints_exactly_one_json_line():
+    """Driver contract: `python bench.py` prints exactly ONE JSON line on
+    stdout (warnings/fallback notes go to stderr).  Run on CPU at tiny
+    sizes; the driver runs the same file on the real TPU."""
+    import json
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "bench.py", "--batch", "256", "--t", "20",
+         "--iters", "1"],
+        cwd=str(REPO), env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, f"expected 1 stdout line, got {lines}"
+    rec = json.loads(lines[0])
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
+    assert rec["value"] > 0
