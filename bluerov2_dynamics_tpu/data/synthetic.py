@@ -135,6 +135,8 @@ def generate_tank_recording(
     ang_noise: float = 2e-3,
     vel_noise: float = 1e-3,
     angvel_noise: float = 2e-3,
+    thruster_gain_jitter: float = 0.0,
+    current=(0.0, 0.0, 0.0),
     method: str = "euler",
     dtype=jnp.float32,
 ) -> SimDataset:
@@ -152,11 +154,31 @@ def generate_tank_recording(
       yaw bias on T1-T4, so psi winds far beyond +-pi — the real recording
       reached 1217 deg (``best_results.txt:814``); states record unwrapped
       Euler angles and are never wrapped during metrics;
-    * mocap-scale Gaussian sensor noise on all recorded channels.
+    * mocap-scale Gaussian sensor noise on all recorded channels;
+    * optional **structural** mismatch the nominal model cannot express
+      even with perfect coefficients: per-thruster gain asymmetry
+      (``thruster_gain_jitter``, emulating propeller wear / ESC spread)
+      and an ambient ``current`` in NED (emulating tank circulation /
+      mocap-frame bias) — the unmodeled-systematics class of error that
+      let the data-driven models beat the physics model on the real
+      recording (``best_results.txt:790-791``).
     """
+    # NOTE: the 4-way split is part of the blessed-dataset contract
+    # (RESULTS.md runs); new option keys must be derived via fold_in so
+    # default datasets stay bit-identical.
     k_p, k_u, k_n, k_x0 = jax.random.split(key, 4)
+    k_g = jax.random.fold_in(key, 99)
     p_gen = perturbed_fossen_params(k_p, jitter, dtype=dtype)
+    if any(float(c) != 0.0 for c in current):
+        p_gen = p_gen._replace(current=jnp.asarray(current, dtype))
     cfg = thruster_config(dtype=dtype)
+    if thruster_gain_jitter > 0.0:
+        gains = jax.random.uniform(
+            k_g, (8,), dtype,
+            minval=1.0 - thruster_gain_jitter, maxval=1.0 + thruster_gain_jitter,
+        )
+        # scale each thruster's force contribution via its wrench-map row
+        cfg = cfg._replace(wrench_map=cfg.wrench_map * gains[:, None])
     lag = lag_params(dt, dtype=dtype)
 
     # Pilot-like command model (the tank recordings are manually flown):

@@ -181,7 +181,7 @@ def test_tank_recording_dataset(rng):
     # the generator is NOT the nominal model: coefficients are perturbed
     # (within the jitter bound), and the stepped dynamics differ on
     # identical (state, lag, input)
-    k_p = jax.random.split(jax.random.PRNGKey(0), 4)[0]
+    k_p = jax.random.split(jax.random.PRNGKey(0), 4)[0]  # generator's split
     pp = synthetic.perturbed_fossen_params(k_p, jitter=0.10)
     p = fossen_params()
     rel = np.abs(np.asarray(pp.added) / np.asarray(p.added) - 1.0)
@@ -195,6 +195,28 @@ def test_tank_recording_dataset(rng):
     xn, _ = step_nom((x, lag0), u)
     xg, _ = step_gen((x, lag0), u)
     assert float(metrics.rmse(xn, xg)) > 1e-6
+
+
+def test_tank_recording_structural_mismatch_options(rng):
+    """Opt-in generator systematics: per-thruster gain asymmetry and an
+    ambient current change the data (vs the default generator) while
+    keeping it bounded; defaults are unchanged (blessed-record stability)."""
+    import jax.numpy as jnp
+
+    base = synthetic.generate_tank_recording(jax.random.PRNGKey(3),
+                                             n_steps=3000, dt=0.02)
+    syst = synthetic.generate_tank_recording(
+        jax.random.PRNGKey(3), n_steps=3000, dt=0.02,
+        thruster_gain_jitter=0.10, current=(0.04, -0.03, 0.0),
+    )
+    Xb, Xs = np.asarray(base.X), np.asarray(syst.X)
+    assert np.all(np.isfinite(Xs))
+    assert np.abs(Xs[:, 3:5]).max() < 0.6          # still stabilized
+    assert np.abs(Xs - Xb).max() > 0.01            # systematics present
+    # same key, default options -> bit-identical to base (no default drift)
+    again = synthetic.generate_tank_recording(jax.random.PRNGKey(3),
+                                              n_steps=3000, dt=0.02)
+    np.testing.assert_array_equal(np.asarray(again.X), Xb)
 
 
 def test_sanity_checks_on_consistent_data(rng):
