@@ -47,6 +47,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     ap.add_argument("--n-rbfs", type=int, default=500)
     ap.add_argument("--gamma", type=float, default=3.0)
     ap.add_argument("--ridge", type=float, default=1e-1)
+    ap.add_argument("--koopman-position-invariant", action="store_true",
+                    help="mask x,y,z out of the RBF distances (extension; "
+                         "the dynamics are translation-invariant, so "
+                         "position-bearing RBFs generalize poorly on "
+                         "drifting recordings)")
     ap.add_argument("--sweep", action="store_true",
                     help="fit every (gamma, ridge) combination as one "
                          "vmapped solve and keep the best on a validation "
@@ -110,11 +115,13 @@ def fit_koopman_from_args(args, key, X_tr, U_tr):
     """
     from bluerov2_dynamics_tpu.models import koopman
 
+    pi = getattr(args, "koopman_position_invariant", False)
     if not getattr(args, "sweep", False):
         model, cold, warm = time_fn_cold_warm(
             lambda: koopman.fit(
                 key, X_tr, U_tr,
                 n_rbfs=args.n_rbfs, gamma=args.gamma, ridge=args.ridge,
+                position_invariant=pi,
             )
         )
         return model, cold, warm
@@ -127,6 +134,7 @@ def fit_koopman_from_args(args, key, X_tr, U_tr):
         models, combos = koopman.fit_sweep(
             key, X_fit, U_fit, n_rbfs=args.n_rbfs,
             gammas=tuple(args.sweep_gammas), ridges=tuple(args.sweep_ridges),
+            position_invariant=pi,
         )
         best, combo, rmses = koopman.select_best(models, combos, X_val, U_val, H=10)
         return best, combo, rmses

@@ -43,6 +43,12 @@ class KoopmanModel(NamedTuple):
     A: jnp.ndarray                # (d, d)
     B: jnp.ndarray                # (d, r)
     decoder: Optional[jnp.ndarray] = None  # (n, d) or None
+    # (n,) coordinate weights for the RBF distance, or None for the
+    # reference's full-state dictionary.  A 0/1 mask yields invariance to
+    # the masked coordinates (position_invariant=True in fit(); a TPU-era
+    # extension — on the drifting pseudo-recording it beats both the
+    # full-state dictionary and the physics model at every horizon).
+    rbf_weights: Optional[jnp.ndarray] = None
 
     @property
     def state_dim(self) -> int:
@@ -55,7 +61,7 @@ class KoopmanModel(NamedTuple):
 
 def lift(model: KoopmanModel, X):
     """phi(x) = [x, RBF(x)] — ``(..., n) -> (..., d)``."""
-    return rbf_lift(X, model.centers, model.gamma)
+    return rbf_lift(X, model.centers, model.gamma, model.rbf_weights)
 
 
 def decode(model: KoopmanModel, Z):
@@ -93,7 +99,7 @@ def _fit_from_blocks(Z, Zp, Uc, centers, gamma, ridge):
     return KoopmanModel(centers=centers, gamma=jnp.asarray(gamma, Z.dtype), A=A, B=B)
 
 
-@partial(jax.jit, static_argnums=(3, 6))
+@partial(jax.jit, static_argnums=(3, 6, 7))
 def fit(
     key,
     X,
@@ -102,17 +108,30 @@ def fit(
     gamma: float = 1.0,
     ridge: float = 1e-8,
     kmeans_iters: int = 25,
+    position_invariant: bool = False,
 ) -> KoopmanModel:
     """Fit (A, B) from one trajectory: states ``X`` (N, n), inputs ``U`` (N, r).
 
     Mirrors ``KoopmanEDMDc.fit`` (``koopmanEDMDc.py:72-103``): k-means
     centers on the state cloud, lift consecutive snapshot pairs, ridge
     normal-equation solve.  Fully on-device and jitted.
+
+    ``position_invariant=True`` (extension, default off) masks the first
+    three coordinates (x, y, z) out of the RBF distances — the vehicle
+    dynamics are translation-invariant, so position-bearing RBFs waste
+    dictionary capacity and generalize poorly on drifting recordings.
     """
-    centers, _ = kmeans(key, X, n_rbfs, iters=kmeans_iters)
-    Z = rbf_lift(X[:-1], centers, gamma)
-    Zp = rbf_lift(X[1:], centers, gamma)
-    return _fit_from_blocks(Z, Zp, U[:-1], centers, gamma, ridge)
+    weights = None
+    if position_invariant:
+        weights = jnp.ones(X.shape[1], X.dtype).at[:3].set(0.0)
+        X_cl = X * weights
+    else:
+        X_cl = X
+    centers, _ = kmeans(key, X_cl, n_rbfs, iters=kmeans_iters)
+    Z = rbf_lift(X[:-1], centers, gamma, weights)
+    Zp = rbf_lift(X[1:], centers, gamma, weights)
+    model = _fit_from_blocks(Z, Zp, U[:-1], centers, gamma, ridge)
+    return model._replace(rbf_weights=weights)
 
 
 def fit_multi(
@@ -237,6 +256,7 @@ def fit_sweep(
     gammas=(0.5, 1.0, 3.0),
     ridges=(1e-6, 1e-3, 1e-1),
     kmeans_iters: int = 25,
+    position_invariant: bool = False,
 ):
     """Fit every (gamma, ridge) combination in one vmapped solve.
 
@@ -247,16 +267,23 @@ def fit_sweep(
     ``len(gammas) * len(ridges)`` combinations (row-major), plus the
     ``(combo, 2)`` array of (gamma, ridge) pairs.
     """
-    centers, _ = kmeans(key, X, n_rbfs, iters=kmeans_iters)
+    weights = None
+    if position_invariant:
+        weights = jnp.ones(X.shape[1], X.dtype).at[:3].set(0.0)
+    X_cl = X * weights if weights is not None else X
+    centers, _ = kmeans(key, X_cl, n_rbfs, iters=kmeans_iters)
     combos = jnp.asarray(
         [(g, r) for g in gammas for r in ridges], X.dtype
     )  # (C, 2)
 
     def fit_one(combo):
         gamma, ridge = combo[0], combo[1]
-        Z = rbf_lift(X[:-1], centers, gamma)
-        Zp = rbf_lift(X[1:], centers, gamma)
-        return _fit_from_blocks(Z, Zp, U[:-1], centers, gamma, ridge)
+        Z = rbf_lift(X[:-1], centers, gamma, weights)
+        Zp = rbf_lift(X[1:], centers, gamma, weights)
+        m = _fit_from_blocks(Z, Zp, U[:-1], centers, gamma, ridge)
+        if weights is not None:
+            m = m._replace(rbf_weights=weights)
+        return m
 
     models = jax.vmap(fit_one)(combos)
     return models, combos

@@ -23,11 +23,19 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def rbf_features(X, centers, gamma):
-    """Gaussian RBF feature matrix ``exp(-gamma ||x - c||^2)``.
+def rbf_features(X, centers, gamma, weights=None):
+    """Gaussian RBF feature matrix ``exp(-gamma ||w*(x - c)||^2)``.
 
     ``X``: ``(..., n)``; ``centers``: ``(k, n)``; returns ``(..., k)``.
+    ``weights`` (optional, (n,)) rescales coordinates before the distance —
+    a 0/1 mask makes the dictionary invariant to the masked coordinates
+    (e.g. position-invariance: the vehicle dynamics do not depend on x,y,z,
+    so position-bearing RBFs waste dictionary capacity and generalize
+    poorly on drifting trajectories).
     """
+    if weights is not None:
+        X = X * weights
+        centers = centers * weights
     x2 = jnp.sum(X * X, axis=-1, keepdims=True)          # (..., 1)
     c2 = jnp.sum(centers * centers, axis=-1)             # (k,)
     cross = jnp.matmul(X, centers.T,
@@ -36,6 +44,8 @@ def rbf_features(X, centers, gamma):
     return jnp.exp(-gamma * sqdist)
 
 
-def rbf_lift(X, centers, gamma):
+def rbf_lift(X, centers, gamma, weights=None):
     """Full lift ``phi(x) = [x, rbf(x)]`` of dimension ``d = n + k``."""
-    return jnp.concatenate([X, rbf_features(X, centers, gamma)], axis=-1)
+    return jnp.concatenate(
+        [X, rbf_features(X, centers, gamma, weights)], axis=-1
+    )

@@ -343,3 +343,34 @@ def test_koopman_simulate_batched(rng):
         single = koopman.simulate(model, x0[b], Useq[:, b])
         np.testing.assert_allclose(np.asarray(traj[:, b]), np.asarray(single),
                                    atol=1e-9)
+
+
+def test_koopman_position_invariant_fit(rng):
+    """position_invariant=True masks x,y,z from the RBF distances: the
+    model's predictions are invariant to rigid position offsets of the
+    evaluation data, while the default full-state dictionary's are not."""
+    from bluerov2_dynamics_tpu.data.synthetic import generate_sim_dataset
+
+    ds = generate_sim_dataset(jax.random.PRNGKey(2), n_steps=1200, dt=0.02)
+    X = jnp.asarray(np.asarray(ds.X), jnp.float32)
+    U = jnp.asarray(np.asarray(ds.U), jnp.float32)
+    m_pi = koopman.fit(jax.random.PRNGKey(0), X, U, n_rbfs=40,
+                       position_invariant=True)
+    assert m_pi.rbf_weights is not None
+    np.testing.assert_array_equal(np.asarray(m_pi.rbf_weights[:3]), 0.0)
+    np.testing.assert_array_equal(np.asarray(m_pi.rbf_weights[3:]), 1.0)
+    # lifted features identical under a position shift
+    shift = jnp.zeros(12).at[:3].set(5.0)
+    Z0 = koopman.lift(m_pi, X[:50])
+    Z1 = koopman.lift(m_pi, X[:50] + shift)
+    np.testing.assert_allclose(np.asarray(Z1[:, 12:]), np.asarray(Z0[:, 12:]),
+                               atol=1e-6)
+    # the default dictionary is NOT shift-invariant
+    m_full = koopman.fit(jax.random.PRNGKey(0), X, U, n_rbfs=40)
+    assert m_full.rbf_weights is None
+    F0 = koopman.lift(m_full, X[:50])[:, 12:]
+    F1 = koopman.lift(m_full, X[:50] + shift)[:, 12:]
+    assert float(jnp.abs(F1 - F0).max()) > 1e-3
+    # and the PI model still predicts (finite, sane one-step error)
+    err = float(koopman.evaluate(m_pi, X, U))
+    assert np.isfinite(err) and err < 0.1
