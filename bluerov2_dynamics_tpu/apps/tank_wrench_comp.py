@@ -50,11 +50,8 @@ def main(argv=None):
     X_te = jnp.asarray(test.X, jnp.float32)
     U_te = jnp.asarray(test.U, jnp.float32)
 
-    model, t_koop_cold, t_koop = time_fn_cold_warm(
-        lambda: koopman.fit(
-            jax.random.PRNGKey(args.seed), X_tr, U_tr,
-            n_rbfs=args.n_rbfs, gamma=args.gamma, ridge=args.ridge,
-        ),
+    model, t_koop_cold, t_koop = common.fit_koopman_from_args(
+        args, jax.random.PRNGKey(args.seed), X_tr, U_tr
     )
     common.summarize_fit("Koopman", t_koop_cold, t_koop)
     gains, t_di_cold, t_di = time_fn_cold_warm(
