@@ -140,10 +140,13 @@ def fit_koopman_from_args(args, key, X_tr, U_tr):
         return best, combo, rmses
 
     (model, combo, rmses), cold, warm = time_fn_cold_warm(fit)
+    vals = np.asarray(rmses)
+    n_bad = int(np.isnan(vals).sum())
+    bad = f", {n_bad} combo(s) NaN (ill-conditioned, skipped)" if n_bad else ""
     info(f"Sweep over {len(args.sweep_gammas)}x{len(args.sweep_ridges)} "
          f"(gamma, ridge) combos -> best gamma={float(combo[0]):g} "
          f"ridge={float(combo[1]):g} (val H=10 RMSE "
-         f"{float(min(rmses)):.6f}, worst {float(max(rmses)):.6f})")
+         f"{np.nanmin(vals):.6f}, worst finite {np.nanmax(vals):.6f}{bad})")
     return model, cold, warm
 
 

@@ -291,12 +291,18 @@ def fit_sweep(
 
 def select_best(models: KoopmanModel, combos, X_val, U_val, H: int = 10):
     """Score every swept model by endpoint H-step RMSE on validation data;
-    returns ``(best_model, best_combo, rmses)``."""
+    returns ``(best_model, best_combo, rmses)``.
+
+    NaN scores (a combo whose f32 Cholesky failed on an ill-conditioned
+    Gram — e.g. tiny ridges with a highly-correlated dictionary) are
+    treated as +inf, so one bad combo never poisons the argmin.
+    """
 
     def score(model):
         return multistep_rmse(model, X_val, U_val, H)
 
     rmses = jax.vmap(score)(models)
-    best = int(jnp.argmin(rmses))
+    finite = jnp.where(jnp.isnan(rmses), jnp.inf, rmses)
+    best = int(jnp.argmin(finite))
     best_model = jax.tree.map(lambda a: a[best], models)
     return best_model, combos[best], rmses

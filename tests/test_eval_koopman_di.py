@@ -374,3 +374,26 @@ def test_koopman_position_invariant_fit(rng):
     # and the PI model still predicts (finite, sane one-step error)
     err = float(koopman.evaluate(m_pi, X, U))
     assert np.isfinite(err) and err < 0.1
+
+
+def test_select_best_nan_robust(rng):
+    """A combo whose solve produced NaN must never win the selection."""
+    from bluerov2_dynamics_tpu.models.koopman import KoopmanModel, select_best
+
+    n, k, r = 3, 4, 2
+    d = n + k
+    good_A = jnp.eye(d) * 0.9
+    bad_A = jnp.full((d, d), jnp.nan)
+    models = KoopmanModel(
+        centers=jnp.zeros((2, k, n)),
+        gamma=jnp.ones(2),
+        A=jnp.stack([bad_A, good_A]),      # combo 0 is NaN
+        B=jnp.zeros((2, d, r)),
+    )
+    combos = jnp.asarray([[1.0, 1e-8], [1.0, 1e-1]])
+    X = jnp.asarray(rng.normal(size=(40, n)) * 0.1)
+    U = jnp.asarray(rng.normal(size=(40, r)))
+    best, combo, rmses = select_best(models, combos, X, U, H=3)
+    assert np.isnan(np.asarray(rmses)[0]) and np.isfinite(np.asarray(rmses)[1])
+    assert float(combo[1]) == 1e-1          # the finite combo won
+    assert np.all(np.isfinite(np.asarray(best.A)))
