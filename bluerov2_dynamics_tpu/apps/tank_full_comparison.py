@@ -47,6 +47,9 @@ def main(argv=None):
     ap.add_argument("--media-prefix", type=str, default="",
                     help="filename prefix for saved media (lets the RK4 "
                          "workload keep separate artifacts)")
+    ap.add_argument("--json-out", type=str, default=None,
+                    help="write metrics + timings as JSON to this path "
+                         "(machine-readable run record)")
     args = ap.parse_args(argv)
 
     ds = common.load_or_generate(args, csv_loader.load_thruster_dataset)
@@ -133,7 +136,22 @@ def main(argv=None):
         evaluators["PINc (ssa psi)"] = lambda H: pinc.endpoint_rmse(
             net, params, X_te, U4_te, dt, H, psi_error="ssa"
         )
-    rmses, _times = common.timed_metric_table(evaluators)
+    rmses, times = common.timed_metric_table(evaluators)
+    if args.json_out:
+        import json
+
+        payload = {
+            "dataset": {"steps": args.steps, "dt": dt,
+                        "recording": bool(getattr(args, "recording", False)),
+                        "coeff_jitter": getattr(args, "coeff_jitter", None)},
+            "fit_seconds_warm": {"koopman": t_koop, "di": t_di, "pinc": t_pinc},
+            "rmse": rmses,
+            "metric_seconds_warm": times,
+            "backend": jax.default_backend(),
+        }
+        Path(args.json_out).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.json_out).write_text(json.dumps(payload, indent=1))
+        ok(f"Wrote JSON run record -> {args.json_out}")
 
     # ---------------- open-loop rollouts (timed) ----------------
     start, horizon = common.open_loop_window(test.X, args.open_loop_steps)

@@ -145,6 +145,23 @@ def test_tank_full_comparison_app(tmp_path, capsys, integrator):
     assert "Loading PINc checkpoint" in capsys.readouterr().out
 
 
+def test_flagship_json_out(tmp_path, capsys):
+    """--json-out writes a machine-readable run record."""
+    import json
+
+    from bluerov2_dynamics_tpu.apps import tank_full_comparison
+
+    out_path = tmp_path / "rec" / "run.json"
+    tank_full_comparison.main(_args(tmp_path, [
+        "--pinc-epochs", "2", "--pinc-ckpt", str(tmp_path / "ck.msgpack"),
+        "--json-out", str(out_path),
+    ]))
+    d = json.loads(out_path.read_text())
+    assert {"dataset", "fit_seconds_warm", "rmse", "metric_seconds_warm",
+            "backend"} <= set(d)
+    assert "Koopman" in d["rmse"] and len(d["rmse"]["Koopman"]) == 3
+
+
 def test_viz_outputs(tmp_path, rng):
     """Animation + static figure actually produce files."""
     from bluerov2_dynamics_tpu.viz import animate_topdown, plot_topdown_with_depth
