@@ -300,9 +300,15 @@ def main():
     args = ap.parse_args()
     if args.batch < 1 or args.t < 1 or args.iters < 1:
         ap.error("--batch, --t, and --iters must be >= 1")
+    if args.block_b < 1:
+        ap.error("--block-b must be >= 1")
+    args.block_b = min(args.block_b, args.batch)  # small batches: one block
+    if args.batch % args.block_b != 0:
+        ap.error("--block-b must divide --batch")
 
     if args.full:
         run_full()
+    path = "pallas_vmem"
     try:
         steps_per_sec, elapsed = run_pallas(
             batch=args.batch, T=args.t, iters=args.iters, block_b=args.block_b
@@ -312,6 +318,7 @@ def main():
               "falling back to XLA scan", file=sys.stderr)
         steps_per_sec, elapsed = run(batch=args.batch, T=args.t,
                                      iters=args.iters)
+        path = "xla_scan_fallback"
     print(
         json.dumps(
             {
@@ -319,6 +326,7 @@ def main():
                 "value": steps_per_sec,
                 "unit": "6dof_rk4_steps/s",
                 "vs_baseline": steps_per_sec / BASELINE_STEPS_PER_SEC,
+                "path": path,
             }
         )
     )

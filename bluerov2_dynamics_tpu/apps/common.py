@@ -12,7 +12,7 @@ from typing import Callable, Dict, Sequence
 import numpy as np
 
 from bluerov2_dynamics_tpu.data import csv_loader
-from bluerov2_dynamics_tpu.eval.timing import time_fn, time_fn_cold_warm
+from bluerov2_dynamics_tpu.eval.timing import time_fn_cold_warm
 from bluerov2_dynamics_tpu.utils.log import info, ok
 
 HORIZONS = (1, 10, 100)
@@ -127,6 +127,12 @@ def fit_koopman_from_args(args, key, X_tr, U_tr):
         return model, cold, warm
 
     n_val = max(int(0.2 * len(X_tr)), max(HORIZONS) + 1)
+    if len(X_tr) - n_val < max(args.n_rbfs, 2):
+        raise SystemExit(
+            f"--sweep needs a training split larger than the validation "
+            f"tail plus the dictionary ({len(X_tr)} rows, n_val={n_val}, "
+            f"n_rbfs={args.n_rbfs}); use more data or fewer RBFs."
+        )
     X_fit, U_fit = X_tr[:-n_val], U_tr[:-n_val]
     X_val, U_val = X_tr[-n_val:], U_tr[-n_val:]
 

@@ -79,19 +79,37 @@ def main(argv=None):
     ckpt = Path(args.pinc_ckpt)
     import numpy as _np
 
-    _, params0 = pinc.init_params(jax.random.PRNGKey(args.seed + 1), hidden)
-    ckpt_like = {"params": params0, "norm_mu": _np.zeros(14), "norm_sigma": _np.ones(14)}
+    sidecar = ckpt.with_suffix(ckpt.suffix + ".json")
     if ckpt.exists():
+        import json
+
         info(f"Loading PINc checkpoint: {ckpt}")
+        pi_flag = args.pinc_position_invariant
+        if sidecar.exists():
+            # the training configuration travels with the checkpoint —
+            # params trained with masked (position-invariant) inputs are
+            # silently wrong if scored through an unmasked net, and vice
+            # versa, so the sidecar overrides the CLI flags on load
+            meta = json.loads(sidecar.read_text())
+            hidden = tuple(meta.get("hidden", hidden))
+            pi_flag = bool(meta.get("position_invariant", pi_flag))
+            if pi_flag != args.pinc_position_invariant:
+                info(f"Checkpoint sidecar overrides --pinc-position-invariant"
+                     f" -> {pi_flag} (trained that way)")
+        _, params0 = pinc.init_params(jax.random.PRNGKey(args.seed + 1), hidden)
+        ckpt_like = {"params": params0, "norm_mu": _np.zeros(14),
+                     "norm_sigma": _np.ones(14)}
         restored = load_pytree(ckpt, ckpt_like)
         params = restored["params"]
         net, _ = pinc.init_params(
             jax.random.PRNGKey(args.seed + 1), hidden,
             norm_mu=restored["norm_mu"], norm_sigma=restored["norm_sigma"],
-            position_invariant=args.pinc_position_invariant,
+            position_invariant=pi_flag,
         )
         t_pinc = 0.0
     else:
+        import json
+
         info("Training PINc (no checkpoint found).")
         data = pinc.make_dataset(X_tr, U_tr, dt, cfg, lag)
         tc = pinc.TrainConfig(
@@ -110,7 +128,14 @@ def main(argv=None):
             "norm_mu": _np.asarray(net.norm_mu, _np.float64),
             "norm_sigma": _np.asarray(net.norm_sigma, _np.float64),
         })
-        ok(f"Saved PINc checkpoint -> {ckpt}")
+        sidecar.write_text(json.dumps({
+            "hidden": list(hidden),
+            "normalize": args.pinc_normalize,
+            "position_invariant": args.pinc_position_invariant,
+            "lr_schedule": args.pinc_lr_schedule,
+            "epochs": args.pinc_epochs,
+        }))
+        ok(f"Saved PINc checkpoint -> {ckpt} (+ config sidecar)")
     ok(f"PINc ready. (fit/load time = {t_pinc:.3f} s)")
 
     print("\n[timings] Train/Fit, warm (s): "

@@ -81,6 +81,12 @@ def main(argv=None):
     if args.extra_csv:
         from bluerov2_dynamics_tpu.eval.timing import time_fn_cold_warm
 
+        if args.sweep or args.koopman_position_invariant:
+            raise SystemExit(
+                "--extra-csv fits via koopman.fit_multi, which supports "
+                "neither --sweep nor --koopman-position-invariant; drop "
+                "those flags or fit a single recording."
+            )
         extras = [csv_loader.load_thruster_dataset(p) for p in args.extra_csv]
         X_list = [jnp.asarray(train.X, jnp.float32)] + [
             jnp.asarray(e.X, jnp.float32) for e in extras

@@ -303,6 +303,12 @@ def select_best(models: KoopmanModel, combos, X_val, U_val, H: int = 10):
 
     rmses = jax.vmap(score)(models)
     finite = jnp.where(jnp.isnan(rmses), jnp.inf, rmses)
+    if not bool(jnp.any(jnp.isfinite(finite))):
+        raise RuntimeError(
+            "every swept (gamma, ridge) combination produced a NaN model "
+            "(ill-conditioned fits); increase the ridge values or reduce "
+            "the dictionary size"
+        )
     best = int(jnp.argmin(finite))
     best_model = jax.tree.map(lambda a: a[best], models)
     return best_model, combos[best], rmses
