@@ -81,11 +81,10 @@ def main(argv=None):
     if args.extra_csv:
         from bluerov2_dynamics_tpu.eval.timing import time_fn_cold_warm
 
-        if args.sweep or args.koopman_position_invariant:
+        if args.sweep:
             raise SystemExit(
-                "--extra-csv fits via koopman.fit_multi, which supports "
-                "neither --sweep nor --koopman-position-invariant; drop "
-                "those flags or fit a single recording."
+                "--extra-csv fits via koopman.fit_multi, which does not "
+                "support --sweep; drop one of the flags."
             )
         extras = [csv_loader.load_thruster_dataset(p) for p in args.extra_csv]
         X_list = [jnp.asarray(train.X, jnp.float32)] + [
@@ -100,6 +99,7 @@ def main(argv=None):
             lambda: koopman.fit_multi(
                 jax.random.PRNGKey(args.seed), X_list, U_list,
                 n_rbfs=args.n_rbfs, gamma=args.gamma, ridge=args.ridge,
+                position_invariant=args.koopman_position_invariant,
             )
         )
     else:

@@ -142,6 +142,7 @@ def fit_multi(
     gamma: float = 1.0,
     ridge: float = 1e-8,
     kmeans_iters: int = 25,
+    position_invariant: bool = False,
 ) -> KoopmanModel:
     """Fit from multiple independent trajectories without cross-bag
     transitions (``KoopmanEDMDc.fit_multi``, ``koopmanEDMDc.py:113-152``).
@@ -149,9 +150,15 @@ def fit_multi(
     Centers are chosen on the union of all states; snapshot pairs are built
     per-trajectory and stacked.  Trajectory list handling is host-side
     (ragged lengths); the lifts and the solve run on device.
+    ``position_invariant`` as in :func:`fit` — particularly apt here, since
+    recordings from different sessions drift through different regions.
     """
     assert len(X_list) == len(U_list) and len(X_list) > 0
     X_all = jnp.concatenate([jnp.asarray(X) for X in X_list if len(X) > 0], axis=0)
+    weights = None
+    if position_invariant:
+        weights = jnp.ones(X_all.shape[1], X_all.dtype).at[:3].set(0.0)
+        X_all = X_all * weights
     centers, _ = kmeans(key, X_all, n_rbfs, iters=kmeans_iters)
     gamma_arr = jnp.asarray(gamma, X_all.dtype)
     Z_blocks, Zp_blocks, U_blocks = [], [], []
@@ -160,13 +167,14 @@ def fit_multi(
         U = jnp.asarray(U)
         if X.shape[0] < 2:
             continue
-        Z_blocks.append(rbf_lift(X[:-1], centers, gamma_arr))
-        Zp_blocks.append(rbf_lift(X[1:], centers, gamma_arr))
+        Z_blocks.append(rbf_lift(X[:-1], centers, gamma_arr, weights))
+        Zp_blocks.append(rbf_lift(X[1:], centers, gamma_arr, weights))
         U_blocks.append(U[:-1])
     Z = jnp.concatenate(Z_blocks, axis=0)
     Zp = jnp.concatenate(Zp_blocks, axis=0)
     Uc = jnp.concatenate(U_blocks, axis=0)
-    return _fit_from_blocks(Z, Zp, Uc, centers, gamma_arr, ridge)
+    model = _fit_from_blocks(Z, Zp, Uc, centers, gamma_arr, ridge)
+    return model._replace(rbf_weights=weights)
 
 
 def fit_decoder(model: KoopmanModel, X, ridge: float = 1e-6) -> KoopmanModel:

@@ -162,6 +162,28 @@ def test_flagship_json_out(tmp_path, capsys):
     assert "Koopman" in d["rmse"] and len(d["rmse"]["Koopman"]) == 3
 
 
+def test_pinc_checkpoint_sidecar_overrides_flags(tmp_path, capsys):
+    """A checkpoint trained with --pinc-position-invariant must reload with
+    the same net construction even when the flag is NOT passed (the config
+    sidecar travels with the checkpoint and overrides the CLI)."""
+    from bluerov2_dynamics_tpu.apps import tank_full_comparison
+
+    ckpt = tmp_path / "pi_ck.msgpack"
+    common_args = _args(tmp_path, ["--pinc-epochs", "2",
+                                   "--pinc-ckpt", str(ckpt)])
+    tank_full_comparison.main(common_args + ["--pinc-position-invariant"])
+    assert (tmp_path / "pi_ck.msgpack.json").exists()
+    capsys.readouterr()
+    out1 = tank_full_comparison.main(common_args)  # no flag on reload
+    text = capsys.readouterr().out
+    assert "sidecar overrides" in text
+    # and the reloaded metrics equal a reload WITH the flag (same net)
+    out2 = tank_full_comparison.main(
+        common_args + ["--pinc-position-invariant"])
+    for H in (1, 10, 100):
+        assert out1["rmses"]["PINc (ResDNN)"][H] == out2["rmses"]["PINc (ResDNN)"][H]
+
+
 def test_viz_outputs(tmp_path, rng):
     """Animation + static figure actually produce files."""
     from bluerov2_dynamics_tpu.viz import animate_topdown, plot_topdown_with_depth
