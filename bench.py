@@ -157,9 +157,60 @@ def measure_vpu_fma_peak(rows: int = 512, iters: int = 32768,
     return 3.0 * rows * 128 * iters * streams / elapsed
 
 
-def step_flops_per_trajectory(method: str = "rk4", batch: int = 1024):
-    """FLOPs of one full thruster-input Fossen step per trajectory, from
-    XLA's own cost model of the compiled step (auditable, not hand-counted)."""
+def measure_vpu_transcendental_peak(rows: int = 512, iters: int = 8192,
+                                    streams: int = 8, calls: int = 3):
+    """Measured transcendental (sin) throughput on this chip.
+
+    Companion to :func:`measure_vpu_fma_peak`: the Fossen RHS is a mix of
+    FMA work and trig, so an FMA-only denominator is not a ceiling for it.
+    Same structure — ``streams`` independent (rows, 128) f32 accumulators
+    advanced through ``iters`` steps of ``acc <- sin(acc) + 0.5*acc``
+    (1 transcendental + 2 flops; the recurrence is non-collapsible and the
+    iterates stay bounded), chained calls + host readback for completion-
+    correct timing.  Returns transcendental evaluations per second (the
+    FMA share of the loop is <1% of a sin's cost and ignored).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_ref, o_ref):
+        a = x_ref[:]
+        accs = [a * jnp.float32(1.0 + 0.01 * i) for i in range(streams)]
+
+        def body(_, accs):
+            return tuple(jnp.sin(acc) + jnp.float32(0.5) * acc for acc in accs)
+
+        accs = jax.lax.fori_loop(0, iters, body, tuple(accs))
+        out = accs[0]
+        for acc in accs[1:]:
+            out = out + acc
+        o_ref[:] = out
+
+    @jax.jit
+    def f(x):
+        y = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(x)
+        return y * (0.5 / jnp.mean(jnp.abs(y)))  # rescale so calls chain
+
+    x = jnp.full((rows, 128), 0.5, jnp.float32)
+    float(f(x)[0, 0])  # warm (readback forces completion)
+    t0 = time.perf_counter()
+    y = x
+    for _ in range(calls):
+        y = f(y)
+    float(y[0, 0])
+    elapsed = (time.perf_counter() - t0) / calls
+    return rows * 128 * iters * streams / elapsed
+
+
+def step_costs_per_trajectory(method: str = "rk4", batch: int = 1024):
+    """(FLOPs, transcendentals) of one full thruster-input Fossen step per
+    trajectory, from XLA's own cost model of the compiled step (auditable,
+    not hand-counted)."""
     from bluerov2_dynamics_tpu.models.fossen import make_thruster_step
     from bluerov2_dynamics_tpu.models.params import (
         fossen_params,
@@ -178,7 +229,13 @@ def step_flops_per_trajectory(method: str = "rk4", batch: int = 1024):
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
-    return float(ca["flops"]) / batch
+    return (float(ca["flops"]) / batch,
+            float(ca.get("transcendentals", 0.0)) / batch)
+
+
+def step_flops_per_trajectory(method: str = "rk4", batch: int = 1024):
+    """Back-compat shim; see :func:`step_costs_per_trajectory`."""
+    return step_costs_per_trajectory(method, batch)[0]
 
 
 def run_soa(batch: int = 65536, T: int = 500, iters: int = 3,
@@ -240,46 +297,75 @@ def run_full():
     split = int(0.8 * N)
     rows = []
 
-    model, t_fit = time_fn(
-        lambda: koopman.fit(jr.PRNGKey(0), X[:split], U[:split],
-                            n_rbfs=500, gamma=3.0, ridge=1e-1),
-        warmup=1, iters=3,
-    )
-    rows.append(("koopman_fit_500rbf_36k_seconds", t_fit, "s", 2.30 / t_fit))
+    def section(name, fn):
+        """Run one secondary-benchmark section; a failure (e.g. no Pallas
+        on this platform) must never prevent the remaining sections or the
+        headline driver-contract line from being emitted."""
+        try:
+            fn()
+        except Exception as e:  # pragma: no cover - platform fallback
+            print(f"[warn] --full section '{name}' failed "
+                  f"({type(e).__name__}: {e}); skipping", file=sys.stderr)
 
-    _, t_k = time_fn(
-        lambda: koopman.multistep_rmse(model, X[split:], U[split:], 100),
-        warmup=1, iters=3,
-    )
-    rows.append(("koopman_h100_eval_seconds", t_k, "s", 41.2 / t_k))
+    def sec_koopman():
+        model, t_fit = time_fn(
+            lambda: koopman.fit(jr.PRNGKey(0), X[:split], U[:split],
+                                n_rbfs=500, gamma=3.0, ridge=1e-1),
+            warmup=1, iters=3,
+        )
+        rows.append(("koopman_fit_500rbf_36k_seconds", t_fit, "s", 2.30 / t_fit))
+        _, t_k = time_fn(
+            lambda: koopman.multistep_rmse(model, X[split:], U[split:], 100),
+            warmup=1, iters=3,
+        )
+        rows.append(("koopman_h100_eval_seconds", t_k, "s", 41.2 / t_k))
 
-    p, cfg, lag = fossen_params(), thruster_config(), lag_params(dt)
-    fe = make_endpoint_final_pallas(p, cfg, lag, dt, 100, method="euler",
-                                    block_b=1024)
-    run_f = jax.jit(lambda X, U: rmse(X[100:].astype(jnp.float32), fe(X, U)))
-    _, t_f = time_fn(run_f, X[split:], U[split:], warmup=1, iters=3)
-    rows.append(("fossen_h100_eval_seconds", t_f, "s", 1246.7 / t_f))
+    def sec_fossen_eval():
+        p, cfg, lag = fossen_params(), thruster_config(), lag_params(dt)
+        fe = make_endpoint_final_pallas(p, cfg, lag, dt, 100, method="euler",
+                                        block_b=1024)
+        run_f = jax.jit(lambda X, U: rmse(X[100:].astype(jnp.float32), fe(X, U)))
+        _, t_f = time_fn(run_f, X[split:], U[split:], warmup=1, iters=3)
+        rows.append(("fossen_h100_eval_seconds", t_f, "s", 1246.7 / t_f))
 
-    # ---------------- layout comparison (batch-first vs batch-last) --------
-    soa_sps, _ = run_soa()
-    rows.append(("fossen_rk4_steps_per_sec_soa_layout", soa_sps,
-                 "6dof_rk4_steps/s", soa_sps / BASELINE_STEPS_PER_SEC))
-    xla_sps, _ = run(batch=65536, iters=3)
-    rows.append(("fossen_rk4_steps_per_sec_xla_scan", xla_sps,
-                 "6dof_rk4_steps/s", xla_sps / BASELINE_STEPS_PER_SEC))
+    def sec_layouts():
+        soa_sps, _ = run_soa()
+        rows.append(("fossen_rk4_steps_per_sec_soa_layout", soa_sps,
+                     "6dof_rk4_steps/s", soa_sps / BASELINE_STEPS_PER_SEC))
+        xla_sps, _ = run(batch=65536, iters=3)
+        rows.append(("fossen_rk4_steps_per_sec_xla_scan", xla_sps,
+                     "6dof_rk4_steps/s", xla_sps / BASELINE_STEPS_PER_SEC))
 
-    # ---------------- roofline accounting for the headline number ----------
-    vpu_peak = measure_vpu_fma_peak()
-    rows.append(("vpu_fma_measured_peak", vpu_peak, "flops/s", None))
-    flops_step = step_flops_per_trajectory()
-    rows.append(("fossen_rk4_flops_per_step", flops_step, "flops",
-                 None))
-    pallas_sps, _ = run_pallas(iters=2)
-    achieved = pallas_sps * flops_step
-    rows.append(("fossen_rk4_achieved_flops", achieved, "flops/s",
-                 None))
-    rows.append(("fossen_rk4_roofline_fraction", achieved / vpu_peak,
-                 "fraction_of_measured_vpu_fma_peak", None))
+    def sec_roofline():
+        vpu_peak = measure_vpu_fma_peak()
+        rows.append(("vpu_fma_measured_peak", vpu_peak, "flops/s", None))
+        trans_peak = measure_vpu_transcendental_peak()
+        rows.append(("vpu_transcendental_measured_peak", trans_peak,
+                     "transcendentals/s", None))
+        flops_step, trans_step = step_costs_per_trajectory()
+        rows.append(("fossen_rk4_flops_per_step", flops_step, "flops", None))
+        rows.append(("fossen_rk4_transcendentals_per_step", trans_step,
+                     "transcendentals", None))
+        pallas_sps, _ = run_pallas(iters=2)
+        achieved = pallas_sps * flops_step
+        rows.append(("fossen_rk4_achieved_flops", achieved, "flops/s", None))
+        rows.append(("fossen_rk4_roofline_fraction", achieved / vpu_peak,
+                     "fraction_of_measured_vpu_fma_peak", None))
+        # mix-weighted ceiling: FMA work and transcendental work both run
+        # on the VPU, so the per-step lower bound is the SUM of the time
+        # each op class needs at its own measured peak
+        t_mix = flops_step / vpu_peak + trans_step / trans_peak
+        mix_ceiling = 1.0 / t_mix
+        rows.append(("fossen_rk4_mix_ceiling_steps_per_sec", mix_ceiling,
+                     "6dof_rk4_steps/s", None))
+        rows.append(("fossen_rk4_fraction_of_mix_ceiling",
+                     pallas_sps / mix_ceiling,
+                     "fraction_of_mix_weighted_ceiling", None))
+
+    section("koopman", sec_koopman)
+    section("fossen_eval", sec_fossen_eval)
+    section("layouts", sec_layouts)
+    section("roofline", sec_roofline)
 
     for metric, value, unit, vs in rows:
         print(json.dumps({"metric": metric, "value": value, "unit": unit,
@@ -307,7 +393,11 @@ def main():
         ap.error("--block-b must divide --batch")
 
     if args.full:
-        run_full()
+        try:
+            run_full()
+        except Exception as e:  # pragma: no cover - headline must survive
+            print(f"[warn] --full secondary benchmarks failed "
+                  f"({type(e).__name__}: {e})", file=sys.stderr)
     path = "pallas_vmem"
     try:
         steps_per_sec, elapsed = run_pallas(

@@ -18,7 +18,10 @@ def main(argv=None):
         import sys
 
         argv = sys.argv[1:]
-    if "--media-prefix" not in argv:
+    has_prefix = any(
+        a == "--media-prefix" or a.startswith("--media-prefix=") for a in argv
+    )
+    if not has_prefix:
         extra += ["--media-prefix", "rk4_"]
     return tank_full_comparison.main(argv + extra)
 

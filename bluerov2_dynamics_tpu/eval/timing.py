@@ -25,12 +25,18 @@ import numpy as np
 
 def sync(result):
     """Force completion of ``result``'s computation (host readback of one
-    element of the first array leaf); returns ``result``."""
+    element of EVERY array leaf); returns ``result``.
+
+    Every leaf is read, not just the first: a pytree result whose leaves
+    live on different devices (sharded outputs) would otherwise only
+    barrier the first leaf's device and the under-measurement this
+    function exists to prevent could reappear.  Leaves of a single-device
+    result share one stream, so the extra readbacks are one RTT each.
+    """
     jax.block_until_ready(result)
     for leaf in jax.tree.leaves(result):
         if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
             np.asarray(jax.device_get(leaf.ravel()[0]))
-            break
     return result
 
 
