@@ -80,7 +80,13 @@ def main(argv=None):
     import numpy as _np
 
     sidecar = ckpt.with_suffix(ckpt.suffix + ".json")
-    if ckpt.exists():
+    if ckpt.exists() and ckpt.suffix == ".pt":
+        # torch state-dict checkpoint — e.g. the reference's shipped
+        # models/pinc_best.pt (train_tank_brov2_full_comparison.py:948-969)
+        info(f"Importing torch PINc checkpoint: {ckpt}")
+        net, params = pinc.load_torch_checkpoint(ckpt, hidden)
+        t_pinc = 0.0
+    elif ckpt.exists():
         import json
 
         info(f"Loading PINc checkpoint: {ckpt}")
@@ -96,6 +102,20 @@ def main(argv=None):
             if pi_flag != args.pinc_position_invariant:
                 info(f"Checkpoint sidecar overrides --pinc-position-invariant"
                      f" -> {pi_flag} (trained that way)")
+            tuned = [
+                k for k, ref_val in (("normalize", False),
+                                     ("position_invariant", False),
+                                     ("lr_schedule", "const"))
+                if meta.get(k, ref_val) != ref_val
+            ]
+            if tuned:
+                # defaults stay reference-faithful elsewhere; make it loud
+                # when the default checkpoint path carries a tuned model
+                print("[notice] Loaded a TUNED (non-reference) PINc "
+                      f"checkpoint: {', '.join(tuned)} differ from the "
+                      "reference training configuration. Delete the "
+                      "checkpoint (or point --pinc-ckpt elsewhere) to "
+                      "retrain reference-faithfully.")
         _, params0 = pinc.init_params(jax.random.PRNGKey(args.seed + 1), hidden)
         ckpt_like = {"params": params0, "norm_mu": _np.zeros(14),
                      "norm_sigma": _np.ones(14)}

@@ -140,6 +140,10 @@ class PINcNet(nn.Module):
     norm_mu: Optional[tuple] = None
     norm_sigma: Optional[tuple] = None
     position_invariant: bool = False
+    # torch nn.LayerNorm uses eps=1e-5 (flax default is 1e-6); weights
+    # imported from the reference's .pt checkpoint set this to 1e-5 so the
+    # forward pass matches torch bit-for-bit up to float math
+    ln_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, z):
@@ -158,7 +162,7 @@ class PINcNet(nn.Module):
         for width in self.hidden:
             h = nn.Dense(width)(h)
             h = AdaptiveSoftplus()(h)
-            h = nn.LayerNorm()(h)
+            h = nn.LayerNorm(epsilon=self.ln_eps)(h)
         dx = nn.Dense(9)(h)
 
         x9 = z[..., :9]
@@ -188,14 +192,77 @@ def init_params(
     norm_mu=None,
     norm_sigma=None,
     position_invariant: bool = False,
+    ln_eps: float = 1e-6,
 ):
     net = PINcNet(
         hidden=tuple(hidden),
         norm_mu=None if norm_mu is None else tuple(float(v) for v in norm_mu),
         norm_sigma=None if norm_sigma is None else tuple(float(v) for v in norm_sigma),
         position_invariant=position_invariant,
+        ln_eps=ln_eps,
     )
     params = net.init(key, jnp.zeros((1, 14), dtype))
+    return net, params
+
+
+def load_torch_checkpoint(path, hidden: Sequence[int] = (64, 64, 64, 64),
+                          dtype=jnp.float32):
+    """Import a reference PINc ``state_dict`` checkpoint into flax params.
+
+    The reference ships exactly one trained artifact —
+    ``/root/reference/models/pinc_best.pt``, consumed by its load-or-train
+    flow (``train_tank_brov2_full_comparison.py:948-969``).  Its
+    ``nn.Sequential`` repeats ``[Linear, AdaptiveSoftplus, LayerNorm]`` per
+    hidden layer plus a final ``Linear`` (``:657-679``), so the state-dict
+    keys are ``net.{3i}.weight/.bias`` (Linear), ``net.{3i+1}.beta``
+    (softplus), ``net.{3i+2}.weight/.bias`` (LayerNorm), and
+    ``net.{3L}.weight/.bias`` for the output layer.  Mapping: torch Linear
+    stores ``(out, in)`` — transposed into flax's ``(in, out)`` kernel;
+    LayerNorm weight/bias become scale/bias; betas map one-to-one.
+
+    Returns ``(net, params)`` with identity input normalization and
+    ``ln_eps=1e-5`` (torch's LayerNorm epsilon).  Requires ``torch`` (CPU
+    build is fine) to unpickle the checkpoint.
+    """
+    import numpy as onp
+    import torch
+
+    sd = torch.load(str(path), map_location="cpu")
+    if hasattr(sd, "state_dict"):  # a full module was saved, not a state dict
+        sd = sd.state_dict()
+
+    def arr(key, transpose=False):
+        t = onp.asarray(sd[key].detach().cpu().numpy())
+        return jnp.asarray(t.T if transpose else t, dtype)
+
+    n_hidden = len(tuple(hidden))
+    params = {}
+    for i in range(n_hidden):
+        params[f"Dense_{i}"] = {
+            "kernel": arr(f"net.{3 * i}.weight", transpose=True),
+            "bias": arr(f"net.{3 * i}.bias"),
+        }
+        params[f"AdaptiveSoftplus_{i}"] = {"beta": arr(f"net.{3 * i + 1}.beta")}
+        params[f"LayerNorm_{i}"] = {
+            "scale": arr(f"net.{3 * i + 2}.weight"),
+            "bias": arr(f"net.{3 * i + 2}.bias"),
+        }
+    params[f"Dense_{n_hidden}"] = {
+        "kernel": arr(f"net.{3 * n_hidden}.weight", transpose=True),
+        "bias": arr(f"net.{3 * n_hidden}.bias"),
+    }
+    params = {"params": params}
+
+    net, ref_params = init_params(
+        jax.random.PRNGKey(0), hidden, dtype=dtype, ln_eps=1e-5
+    )
+    ref_shapes = jax.tree.map(jnp.shape, ref_params)
+    got_shapes = jax.tree.map(jnp.shape, params)
+    if ref_shapes != got_shapes:
+        raise ValueError(
+            f"checkpoint {path} does not match PINcNet(hidden={tuple(hidden)}): "
+            f"expected {ref_shapes}, got {got_shapes}"
+        )
     return net, params
 
 
