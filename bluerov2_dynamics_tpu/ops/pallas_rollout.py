@@ -55,8 +55,11 @@ def _scalar(x) -> float:
 def _make_rhs_const(p: FossenParams):
     """Closed-form euler12 RHS with all coefficients as Python floats.
 
-    Same math as ``fossen.wrench_rhs_euler`` restricted to zero current
-    (current support: fold the constant current into the kernel if needed).
+    Same math as ``fossen.wrench_rhs_euler``, INCLUDING the constant NED
+    ocean current (``fossen/BlueROV2.py:376-378``): the current is rotated
+    to body frame per state with the R rows already computed here, and the
+    relative velocity enters the damping on the linear DOFs only.  A zero
+    current (the default) bakes to exactly the previous arithmetic.
     Operates on ``x`` of shape (12, B) tiles; ``tau`` is six scalars.
     """
     mdiag = [_scalar(v) for v in p.mdiag]
@@ -71,6 +74,9 @@ def _make_rhs_const(p: FossenParams):
     WB = W - Bf
     xbB, ybB, zbB = xb * Bf, yb * Bf, zb * Bf
     Xud, Yvd, Zwd = added[0], added[1], added[2]
+    cur = [_scalar(v) for v in jnp.broadcast_to(p.current, (3,))]
+    has_current = any(c != 0.0 for c in cur)
+    cnx, cny, cnz = cur
 
     def rhs(x, tau):
         phi, theta, psi = x[3], x[4], x[5]
@@ -97,9 +103,17 @@ def _make_rhs_const(p: FossenParams):
         c4 = gyro[1] * pp * r + (Zwd - Xud) * u * w
         c5 = gyro[2] * pp * q + (Xud - Yvd) * u * v
 
-        d0 = (d_lin[0] + d_quad[0] * jnp.abs(u)) * u
-        d1 = (d_lin[1] + d_quad[1] * jnp.abs(v)) * v
-        d2 = (d_lin[2] + d_quad[2] * jnp.abs(w)) * w
+        if has_current:
+            # v_c^b = R^T v_c^n (R rows above); nu_r on linear DOFs only,
+            # damping is the only consumer (fossen/BlueROV2.py:376-378)
+            ur = u - (r00 * cnx + r10 * cny - sth * cnz)
+            vr = v - (r01 * cnx + r11 * cny + r21 * cnz)
+            wr = w - (r02 * cnx + r12 * cny + r22 * cnz)
+        else:
+            ur, vr, wr = u, v, w
+        d0 = (d_lin[0] + d_quad[0] * jnp.abs(ur)) * ur
+        d1 = (d_lin[1] + d_quad[1] * jnp.abs(vr)) * vr
+        d2 = (d_lin[2] + d_quad[2] * jnp.abs(wr)) * wr
         d3 = (d_lin[3] + d_quad[3] * jnp.abs(pp)) * pp
         d4 = (d_lin[4] + d_quad[4] * jnp.abs(q)) * q
         d5 = (d_lin[5] + d_quad[5] * jnp.abs(r)) * r
