@@ -110,6 +110,107 @@ def shardmap_endpoint_rmse(mesh: Mesh, step: Callable, X, U, H: int,
     return jnp.sqrt(sq_total / (n_start * n))
 
 
+def shardmap_endpoint_rmse_pallas(
+    mesh: Mesh,
+    p,
+    cfg,
+    lag,
+    X,
+    U,
+    dt: float,
+    H: int,
+    method: str = "rk4",
+    block_b: int = 512,
+    interpret: bool = False,
+    use_lag: bool = True,
+    data_axis: str = "data",
+):
+    """Endpoint H-step RMSE with the Pallas VMEM evaluator as the per-shard
+    body — the fastest single-chip path composed with ``shard_map``.
+
+    Each device runs the sliding-window VMEM kernel
+    (:func:`bluerov2_dynamics_tpu.ops.pallas_eval.make_endpoint_final_pallas`'s
+    kernel) on its contiguous block of rollout starts, slicing its shifted
+    input windows out of the replicated command trajectory at its mesh
+    offset; the squared-error partial sums are ``psum``'d over ICI.  Same
+    semantics as :func:`shardmap_endpoint_rmse`, same divisibility
+    requirement ``(N - H) % n_dev == 0``.
+
+    ``interpret=True`` runs the kernel in Pallas interpret mode (CPU
+    meshes / the driver dry run); on TPU hardware leave it False.
+    """
+    from jax import shard_map
+
+    from bluerov2_dynamics_tpu.ops.pallas_eval import (
+        _make_thruster_window_kernel,
+    )
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, n = X.shape
+    n_start = N - H
+    n_dev = mesh.shape[data_axis]
+    if n_start % n_dev != 0:
+        raise ValueError(f"n_start={n_start} not divisible by mesh axis {n_dev}")
+    m = n_start // n_dev
+    bb = min(block_b, m)
+    m_pad = -(-m // bb) * bb
+    kernel = _make_thruster_window_kernel(p, cfg, lag, dt, method, use_lag)
+
+    x0 = X[:n_start].astype(jnp.float32)
+    target = X[H:].astype(jnp.float32)
+    ut = U.T.astype(jnp.float32)  # (8, N)
+    # the last shard's widest input slice ends at (n_dev-1)*m + H-1 + m_pad
+    need = (n_dev - 1) * m + H - 1 + m_pad
+    if need > ut.shape[1]:
+        ut = jnp.pad(ut, ((0, 0), (0, need - ut.shape[1])))
+
+    def per_shard(x0_local, target_local, ut_full):
+        offset = jax.lax.axis_index(data_axis).astype(jnp.int32) * m
+        x0t = x0_local.T  # (12, m)
+        if m_pad != m:
+            x0t = jnp.pad(x0t, ((0, 0), (0, m_pad - m)))
+        zero = jnp.int32(0)
+        u_shift = jnp.stack([
+            jax.lax.dynamic_slice(ut_full, (zero, offset + jnp.int32(t)),
+                                  (8, m_pad))
+            for t in range(H)
+        ])  # (H, 8, m_pad)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((12, m_pad), jnp.float32),
+            grid=(m_pad // bb, H),
+            in_specs=[
+                pl.BlockSpec((1, 8, bb), lambda i, t: (t, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((12, bb), lambda i, t: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((12, bb), lambda i, t: (0, i),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((12, bb), jnp.float32),
+                pltpu.VMEM((3, 8, bb), jnp.float32),
+            ],
+            interpret=interpret,
+        )(u_shift, x0t)
+        final = out[:, :m].T
+        d = final - target_local
+        return jax.lax.psum(jnp.sum(d * d), data_axis)
+
+    fn = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(data_axis), P(data_axis), P()),
+        out_specs=P(),
+        # pallas_call outputs carry no varying-mesh-axes metadata; skip the
+        # vma check (the collective structure here is a single final psum)
+        check_vma=False,
+    )
+    sq_total = fn(x0, target, ut)
+    return jnp.sqrt(sq_total / (n_start * n))
+
+
 def sharded_koopman_multistep_rmse(
     mesh: Mesh,
     model,
@@ -169,6 +270,9 @@ def sharded_koopman_fit(
     ridge: float = 1e-8,
     kmeans_iters: int = 25,
     data_axis: str = "data",
+    position_invariant: bool = False,
+    fit_decoder: bool = False,
+    decoder_ridge: float = 1e-6,
 ):
     """Koopman EDMDc fit with the snapshot rows sharded over the mesh.
 
@@ -177,6 +281,12 @@ def sharded_koopman_fit(
     the small (d+r)^2 solve is replicated.  Scales the reference's fit
     (``Koopman/koopmanEDMDc.py:72-103``) to datasets larger than one
     chip's HBM.
+
+    ``position_invariant`` and ``fit_decoder`` match the single-device
+    :func:`bluerov2_dynamics_tpu.models.koopman.fit` /
+    :func:`~.models.koopman.fit_decoder` semantics, so the framework's
+    best-accuracy configuration (the PI dictionary) is available sharded.
+    The decoder solve reuses the row-sharded lift.
     """
     import jax.numpy as jnp
 
@@ -189,21 +299,36 @@ def sharded_koopman_fit(
 
     @partial(jax.jit, static_argnums=(1,), in_shardings=(repl, repl, repl))
     def run(key, n_rbfs, X, U):
-        centers, _ = kmeans(key, X, n_rbfs, iters=kmeans_iters)
+        weights = None
+        if position_invariant:
+            weights = jnp.ones(X.shape[1], X.dtype).at[:3].set(0.0)
+            X_cl = X * weights
+        else:
+            X_cl = X
+        centers, _ = kmeans(key, X_cl, n_rbfs, iters=kmeans_iters)
         Z = jax.lax.with_sharding_constraint(
-            rbf_lift(X[:-1], centers, gamma), rows
+            rbf_lift(X[:-1], centers, gamma, weights), rows
         )
         Zp = jax.lax.with_sharding_constraint(
-            rbf_lift(X[1:], centers, gamma), rows
+            rbf_lift(X[1:], centers, gamma, weights), rows
         )
         G = jnp.concatenate([Z, U[:-1]], axis=1)
         M = _ridge_solve(G, Zp, ridge)
         d = Z.shape[1]
+        decoder = None
+        if fit_decoder:
+            # x ~ W z on the row-sharded lift; relative ridge as in
+            # koopman.fit_decoder (highly-correlated RBF features)
+            Z_full = jnp.concatenate([Z, Zp[-1:]], axis=0)
+            scale = jnp.mean(jnp.sum(Z_full * Z_full, axis=0))
+            decoder = _ridge_solve(Z_full, X, decoder_ridge * scale).T
         return KoopmanModel(
             centers=centers,
             gamma=jnp.asarray(gamma, X.dtype),
             A=M[:d].T,
             B=M[d:].T,
+            decoder=decoder,
+            rbf_weights=weights,
         )
 
     return run(key, n_rbfs, X, U)
