@@ -64,16 +64,32 @@ def raw_messages(db3_path, topic: str):
     return [(ts, bytes(b)) for ts, b in rows], typ
 
 
-def iter_messages(db3_path, topic: str) -> Iterator[Tuple[int, object]]:
-    """Yield ``(timestamp_ns, decoded_message)`` for one topic."""
+def iter_messages(db3_path, topic: str, typestore=None) -> Iterator[Tuple[int, object]]:
+    """Yield ``(timestamp_ns, decoded_message)`` for one topic.
+
+    Types without a hand-written decoder (``cdr.DECODERS``) fall back to
+    the schema-driven generic decoder (:mod:`..data.typesys`) — pass a
+    :class:`~bluerov2_dynamics_tpu.data.typesys.TypeStore` with custom
+    ``.msg``/``.idl`` registrations, or the PX4-preloaded default is used
+    (the reference's custom-type registration path,
+    ``rosbags/bag2csv.py:74-97``).
+    """
     tops = topics_of(db3_path)
     if topic not in tops:
         return
     tid, typ = tops[topic]
     decoder = cdr.DECODERS.get(typ)
     if decoder is None:
-        warn(f"No CDR decoder for type {typ!r} (topic {topic}); skipping.")
-        return
+        from bluerov2_dynamics_tpu.data import typesys
+
+        store = (typestore if typestore is not None
+                 else typesys.default_typestore())
+        if typ in store.types:
+            decoder = lambda blob: store.decode(typ, blob)  # noqa: E731
+        else:
+            warn(f"No CDR decoder or registered schema for type {typ!r} "
+                 f"(topic {topic}); skipping.")
+            return
     with sqlite3.connect(f"file:{Path(db3_path)}?mode=ro", uri=True) as con:
         cur = con.execute(
             "SELECT timestamp, data FROM messages WHERE topic_id = ? "

@@ -29,24 +29,18 @@ from bluerov2_dynamics_tpu.models.params import FossenParams, LagParams, Thruste
 from bluerov2_dynamics_tpu.ops.pallas_rollout import _make_rhs_const, _scalar
 
 
-def make_endpoint_final_pallas(
+def _make_thruster_window_kernel(
     p: FossenParams,
     cfg: ThrusterConfig,
     lag: LagParams,
     dt: float,
-    H: int,
     method: str = "rk4",
-    block_b: int = 512,
-    interpret: bool = False,
     use_lag: bool = True,
 ):
-    """Build ``fn(X, U) -> final_states`` for the thruster-input model.
-
-    ``X``: ``(N, 12)`` recorded states, ``U``: ``(N, 8)`` recorded inputs;
-    returns the ``(N-H, 12)`` endpoint states of all sliding-window
-    rollouts (fresh zero lag state per start).  Feed into
-    ``rmse(X[H:], final)`` for the metric.
-    """
+    """Shared kernel body: one grid step of the sliding-window thruster-
+    input rollout (state + lag filters in VMEM scratch persisting over the
+    time dimension of the grid).  Used by the single-device evaluator and
+    the shard_map-sharded variant."""
     rhs = _make_rhs_const(p)
     # constants baked as (nested) Python floats — numpy f64 scalars would
     # promote the f32 kernel carry under jax_enable_x64
@@ -94,6 +88,29 @@ def make_endpoint_final_pallas(
         @pl.when(t == pl.num_programs(1) - 1)
         def _():
             out_ref[:] = x_scr[:]
+
+    return kernel
+
+
+def make_endpoint_final_pallas(
+    p: FossenParams,
+    cfg: ThrusterConfig,
+    lag: LagParams,
+    dt: float,
+    H: int,
+    method: str = "rk4",
+    block_b: int = 512,
+    interpret: bool = False,
+    use_lag: bool = True,
+):
+    """Build ``fn(X, U) -> final_states`` for the thruster-input model.
+
+    ``X``: ``(N, 12)`` recorded states, ``U``: ``(N, 8)`` recorded inputs;
+    returns the ``(N-H, 12)`` endpoint states of all sliding-window
+    rollouts (fresh zero lag state per start).  Feed into
+    ``rmse(X[H:], final)`` for the metric.
+    """
+    kernel = _make_thruster_window_kernel(p, cfg, lag, dt, method, use_lag)
 
     @jax.jit
     def fn(X, U):
@@ -163,51 +180,7 @@ def make_batched_rollout_pallas(
     scratch persisting over the time dimension, inputs streamed as aligned
     pipelined blocks.
     """
-    rhs = _make_rhs_const(p)
-    c1, c3, c5, c7, c9 = (_scalar(cfg.curve[i]) for i in range(5))
-    Wm = np.asarray(jax.device_get(cfg.wrench_map), np.float64).tolist()
-    Ad = np.asarray(jax.device_get(lag.Ad), np.float64).tolist()
-    Bd = np.asarray(jax.device_get(lag.Bd), np.float64).tolist()
-    cl = np.asarray(jax.device_get(lag.c), np.float64).tolist()
-
-    def kernel(u_ref, x_ref, out_ref, x_scr, l_scr):
-        t = pl.program_id(1)
-
-        @pl.when(t == 0)
-        def _():
-            x_scr[:] = x_ref[:]
-            l_scr[:] = jnp.zeros_like(l_scr)
-
-        x = x_scr[:]
-        u = u_ref[0]
-        u2 = u * u
-        F_cmd = u * (c1 + u2 * (c3 + u2 * (c5 + u2 * (c7 + u2 * c9))))
-        if use_lag:
-            L = l_scr[:]
-            N0 = Ad[0][0] * L[0] + Ad[0][1] * L[1] + Ad[0][2] * L[2] + Bd[0] * F_cmd
-            N1 = Ad[1][0] * L[0] + Ad[1][1] * L[1] + Ad[1][2] * L[2] + Bd[1] * F_cmd
-            N2 = Ad[2][0] * L[0] + Ad[2][1] * L[1] + Ad[2][2] * L[2] + Bd[2] * F_cmd
-            F = cl[0] * N0 + cl[1] * N1 + cl[2] * N2
-            l_scr[:] = jnp.stack([N0, N1, N2])
-        else:
-            F = F_cmd
-        tau = tuple(
-            sum(Wm[j][i] * F[j] for j in range(8) if Wm[j][i] != 0.0)
-            for i in range(6)
-        )
-        if method == "euler":
-            x = x + dt * rhs(x, tau)
-        else:
-            k1 = rhs(x, tau)
-            k2 = rhs(x + (0.5 * dt) * k1, tau)
-            k3 = rhs(x + (0.5 * dt) * k2, tau)
-            k4 = rhs(x + dt * k3, tau)
-            x = x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
-        x_scr[:] = x
-
-        @pl.when(t == pl.num_programs(1) - 1)
-        def _():
-            out_ref[:] = x_scr[:]
+    kernel = _make_thruster_window_kernel(p, cfg, lag, dt, method, use_lag)
 
     @jax.jit
     def fn(x0, U):
