@@ -61,6 +61,14 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     ap.add_argument("--sweep-ridges", type=float, nargs="+",
                     default=[1e-3, 1e-2, 1e-1])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--extra-csv", nargs="*", default=[],
+                    help="additional recording CSVs used as extra TRAINING "
+                         "trajectories; fitted jointly without cross-file "
+                         "transitions (koopman.fit_multi, the reference's "
+                         "multi-bag capability at koopmanEDMDc.py:113-152). "
+                         "Metrics stay on the main dataset's test split. "
+                         "Each workload loads extras with its own column "
+                         "contract (thruster / wrench / quat).")
     return ap
 
 
@@ -102,20 +110,47 @@ def load_or_generate(args, loader: Callable = csv_loader.load_thruster_dataset):
     return loader(csv_path)
 
 
-def fit_koopman_from_args(args, key, X_tr, U_tr):
+def fit_koopman_from_args(args, key, X_tr, U_tr, loader: Callable = None):
     """Fit the Koopman model per CLI args, timed cold/warm.
 
     Default: one fit at (--gamma, --ridge).  With ``--sweep``: every
     (gamma, ridge) combination is fitted as ONE vmapped solve
     (``koopman.fit_sweep``) and scored by endpoint H=10 RMSE on the last
     20% of the training split (``koopman.select_best``) — model selection
-    the reference's sequential scripts cannot express.
+    the reference's sequential scripts cannot express.  With
+    ``--extra-csv``: the main training split plus every extra recording
+    are fitted jointly via ``koopman.fit_multi`` (no cross-file
+    transitions); ``loader`` is the workload's dataset loader applied to
+    each extra path (thruster columns by default).
 
     Returns ``(model, cold_seconds, warm_seconds)``.
     """
+    import jax.numpy as jnp
+
     from bluerov2_dynamics_tpu.models import koopman
 
     pi = getattr(args, "koopman_position_invariant", False)
+    extra = getattr(args, "extra_csv", None) or []
+    if extra:
+        if getattr(args, "sweep", False):
+            raise SystemExit(
+                "--extra-csv fits via koopman.fit_multi, which does not "
+                "support --sweep; drop one of the flags."
+            )
+        if loader is None:
+            loader = csv_loader.load_thruster_dataset
+        extras = [loader(p) for p in extra]
+        X_list = [X_tr] + [jnp.asarray(e.X, X_tr.dtype) for e in extras]
+        U_list = [U_tr] + [jnp.asarray(e.U, U_tr.dtype) for e in extras]
+        info(f"Multi-trajectory fit over {len(X_list)} recordings "
+             f"({sum(len(x) for x in X_list)} rows total)")
+        return time_fn_cold_warm(
+            lambda: koopman.fit_multi(
+                key, X_list, U_list,
+                n_rbfs=args.n_rbfs, gamma=args.gamma, ridge=args.ridge,
+                position_invariant=pi,
+            )
+        )
     if not getattr(args, "sweep", False):
         model, cold, warm = time_fn_cold_warm(
             lambda: koopman.fit(

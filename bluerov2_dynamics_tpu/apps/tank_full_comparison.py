@@ -64,7 +64,8 @@ def main(argv=None):
 
     # ---------------- fits (timed) ----------------
     model, t_koop_cold, t_koop = common.fit_koopman_from_args(
-        args, jax.random.PRNGKey(args.seed), X_tr, U_tr
+        args, jax.random.PRNGKey(args.seed), X_tr, U_tr,
+        loader=csv_loader.load_thruster_dataset,
     )
     common.summarize_fit("Koopman", t_koop_cold, t_koop)
 

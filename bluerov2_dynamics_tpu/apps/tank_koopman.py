@@ -66,47 +66,17 @@ def main(argv=None):
                     help="learn a linear decoder x ~ W z instead of the "
                          "first-n-coordinates readout (the reference's "
                          "commented-out capability, koopmanEDMDc.py:105-111)")
-    ap.add_argument("--extra-csv", nargs="*", default=[],
-                    help="additional recording CSVs used as extra TRAINING "
-                         "trajectories; fitted jointly without cross-file "
-                         "transitions (koopman.fit_multi, the reference's "
-                         "multi-bag capability at koopmanEDMDc.py:113-152). "
-                         "Metrics stay on the main dataset's test split.")
     args = ap.parse_args(argv)
 
     ds = common.load_or_generate(args, csv_loader.load_thruster_dataset)
     train, test = csv_loader.train_test_split(ds, args.train_split)
     info(f"Train: {len(train.X)} | Test: {len(test.X)}")
 
-    if args.extra_csv:
-        from bluerov2_dynamics_tpu.eval.timing import time_fn_cold_warm
-
-        if args.sweep:
-            raise SystemExit(
-                "--extra-csv fits via koopman.fit_multi, which does not "
-                "support --sweep; drop one of the flags."
-            )
-        extras = [csv_loader.load_thruster_dataset(p) for p in args.extra_csv]
-        X_list = [jnp.asarray(train.X, jnp.float32)] + [
-            jnp.asarray(e.X, jnp.float32) for e in extras
-        ]
-        U_list = [jnp.asarray(train.U, jnp.float32)] + [
-            jnp.asarray(e.U, jnp.float32) for e in extras
-        ]
-        info(f"Multi-trajectory fit over {len(X_list)} recordings "
-             f"({sum(len(x) for x in X_list)} rows total)")
-        model, t_fit_cold, t_fit = time_fn_cold_warm(
-            lambda: koopman.fit_multi(
-                jax.random.PRNGKey(args.seed), X_list, U_list,
-                n_rbfs=args.n_rbfs, gamma=args.gamma, ridge=args.ridge,
-                position_invariant=args.koopman_position_invariant,
-            )
-        )
-    else:
-        model, t_fit_cold, t_fit = common.fit_koopman_from_args(
-            args, jax.random.PRNGKey(args.seed),
-            jnp.asarray(train.X, jnp.float32), jnp.asarray(train.U, jnp.float32),
-        )
+    model, t_fit_cold, t_fit = common.fit_koopman_from_args(
+        args, jax.random.PRNGKey(args.seed),
+        jnp.asarray(train.X, jnp.float32), jnp.asarray(train.U, jnp.float32),
+        loader=csv_loader.load_thruster_dataset,
+    )
     common.summarize_fit("Koopman", t_fit_cold, t_fit)
     if args.decoder:
         model = koopman.fit_decoder(model, jnp.asarray(train.X, jnp.float32))

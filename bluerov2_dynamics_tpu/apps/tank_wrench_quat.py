@@ -52,7 +52,8 @@ def main(argv=None):
     U_te = jnp.asarray(test.U, jnp.float32)
 
     model, t_koop_cold, t_koop = common.fit_koopman_from_args(
-        args, jax.random.PRNGKey(args.seed), X_tr, U_tr
+        args, jax.random.PRNGKey(args.seed), X_tr, U_tr,
+        loader=csv_loader.load_quat_dataset,
     )
     common.summarize_fit("Koopman (quat)", t_koop_cold, t_koop)
     gains, t_di_cold, t_di = time_fn_cold_warm(

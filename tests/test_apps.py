@@ -281,3 +281,37 @@ def test_animate_quat_trajectories(tmp_path, rng):
     gif = tmp_path / "q.gif"
     animate_topdown({"quat": traj13}, dt=0.1, save_path=str(gif))
     assert gif.exists()
+
+
+def test_tank_wrench_comp_multi_csv(tmp_path, capsys):
+    """--extra-csv now works in every tank workload (round-2 gap: only
+    tank_koopman could consume multi-recording data); the wrench app loads
+    extras through its own wrench column contract."""
+    import jax
+    import pandas as pd
+
+    from bluerov2_dynamics_tpu.apps import tank_wrench_comp
+    from bluerov2_dynamics_tpu.data.synthetic import generate_sim_dataset
+    from bluerov2_dynamics_tpu.data.wrench import thrusters_to_wrench
+
+    cols = ["x", "y", "z", "phi", "theta", "psi",
+            "u", "v", "w", "p", "q", "r"]
+    wcols = ["Fx", "Fy", "Fz", "Mx", "My", "Mz"]
+    paths = []
+    for seed in (1, 2):
+        ds = generate_sim_dataset(jax.random.PRNGKey(seed), n_steps=400, dt=0.02)
+        W = np.asarray(thrusters_to_wrench(np.asarray(ds.U)))
+        df = pd.DataFrame(np.c_[np.asarray(ds.X), W], columns=cols + wcols)
+        df.insert(0, "t", np.arange(400) * 0.02)
+        path = tmp_path / f"wrench{seed}.csv"
+        df.to_csv(path, index=False)
+        paths.append(str(path))
+
+    out = tank_wrench_comp.main([
+        "--csv", paths[0], "--extra-csv", paths[1],
+        "--n-rbfs", "20", "--open-loop-steps", "40", "--no-media",
+        "--media-dir", str(tmp_path / "media"),
+    ])
+    assert np.all(np.isfinite(out["koopman"]))
+    text = capsys.readouterr().out
+    assert "Multi-trajectory fit over 2 recordings" in text
