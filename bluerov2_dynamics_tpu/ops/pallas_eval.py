@@ -152,6 +152,84 @@ def make_endpoint_final_pallas(
     return fn
 
 
+def make_endpoint_final_pallas_wrench(
+    p: FossenParams,
+    dt: float,
+    H: int,
+    method: str = "rk4",
+    block_b: int = 512,
+    interpret: bool = False,
+):
+    """Build ``fn(X, TAU) -> final_states`` for the WRENCH-input model.
+
+    Same VMEM-resident sliding-window structure as
+    :func:`make_endpoint_final_pallas`, but the recorded input is a direct
+    6-D body wrench (the T3 workload's physics baseline,
+    ``fossen/BlueROV2_thrust.py:235-282``): no thruster curve, no lag
+    filter, no lag scratch.  ``X``: ``(N, 12)``; ``TAU``: ``(N, 6)``;
+    returns the ``(N-H, 12)`` endpoint states.
+    """
+    rhs = _make_rhs_const(p)
+
+    def kernel(tau_ref, x_ref, out_ref, x_scr):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            x_scr[:] = x_ref[:]
+
+        x = x_scr[:]                       # (12, block_b)
+        tau6 = tau_ref[0]                  # (6, block_b)
+        tau = tuple(tau6[j] for j in range(6))
+        if method == "euler":
+            x = x + dt * rhs(x, tau)
+        else:
+            k1 = rhs(x, tau)
+            k2 = rhs(x + (0.5 * dt) * k1, tau)
+            k3 = rhs(x + (0.5 * dt) * k2, tau)
+            k4 = rhs(x + dt * k3, tau)
+            x = x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        x_scr[:] = x
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _():
+            out_ref[:] = x_scr[:]
+
+    @jax.jit
+    def fn(X, TAU):
+        N = X.shape[0]
+        n_start = N - H
+        assert n_start > 0, f"horizon H={H} >= dataset length {N}"
+        n_pad = -(-n_start // block_b) * block_b
+        x0 = X[:n_start].T.astype(jnp.float32)
+        if n_pad != n_start:
+            x0 = jnp.pad(x0, ((0, 0), (0, n_pad - n_start)))
+        tt = TAU.T.astype(jnp.float32)     # (6, N)
+        if n_pad + H > TAU.shape[0]:
+            tt = jnp.pad(tt, ((0, 0), (0, n_pad + H - TAU.shape[0])))
+        tau_shift = jnp.stack(
+            [jax.lax.dynamic_slice_in_dim(tt, t, n_pad, axis=1) for t in range(H)]
+        )  # (H, 6, n_pad)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((12, n_pad), jnp.float32),
+            grid=(n_pad // block_b, H),
+            in_specs=[
+                pl.BlockSpec((1, 6, block_b), lambda i, t: (t, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((12, block_b), lambda i, t: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((12, block_b), lambda i, t: (0, i),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((12, block_b), jnp.float32)],
+            interpret=interpret,
+        )(tau_shift, x0)
+        return out[:, :n_start].T
+
+    return fn
+
+
 def endpoint_rmse_pallas(p, cfg, lag, X, U, dt, H, **kw):
     """Convenience: endpoint H-step RMSE via the VMEM kernel."""
     from bluerov2_dynamics_tpu.eval.metrics import rmse

@@ -85,3 +85,33 @@ def test_batched_rollout_per_traj_inputs(rng):
     step = fossen.make_thruster_step(p, cfg, lag, dt, method="rk4")
     (want, _), _ = rollout(step, (x0, jnp.zeros((B, 8, 3), jnp.float32)), U)
     np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_endpoint_pallas_wrench_matches_scan(rng):
+    """Wrench-input VMEM evaluator (T3 physics baseline) matches the scan
+    evaluator, including with a nonzero ocean current."""
+    from bluerov2_dynamics_tpu.eval import metrics
+    from bluerov2_dynamics_tpu.ops.pallas_eval import (
+        make_endpoint_final_pallas_wrench,
+    )
+
+    dt, H, N = 0.02, 10, 70
+    for current in ((0.0, 0.0, 0.0), (0.2, -0.15, 0.05)):
+        p = fossen_params(current=current, dtype=jnp.float32)
+        TAU = jnp.asarray(rng.normal(size=(N, 6)) * 3.0, jnp.float32)
+        step = fossen.make_wrench_step(p, dt, method="euler", state="euler12")
+        x0 = jnp.asarray(rng.normal(size=12) * 0.2, jnp.float32)
+        from bluerov2_dynamics_tpu.ops.integrators import rollout
+
+        _, X = rollout(step, x0, TAU)
+        X = X[:-1]
+
+        for method in ("euler", "rk4"):
+            fe = make_endpoint_final_pallas_wrench(
+                p, dt, H, method=method, block_b=16, interpret=True
+            )
+            got = float(metrics.rmse(X[H:], fe(X, TAU)))
+            step_m = fossen.make_wrench_step(p, dt, method=method,
+                                             state="euler12")
+            want = float(metrics.endpoint_rmse(step_m, X, TAU, H))
+            np.testing.assert_allclose(got, want, rtol=1e-4)
