@@ -66,21 +66,36 @@ def main(argv=None):
                     help="learn a linear decoder x ~ W z instead of the "
                          "first-n-coordinates readout (the reference's "
                          "commented-out capability, koopmanEDMDc.py:105-111)")
+    ap.add_argument("--save-model", type=str, default=None,
+                    help="save the fitted Koopman model (centers, gamma, "
+                         "A, B, optional decoder/weights) as .npz")
+    ap.add_argument("--load-model", type=str, default=None,
+                    help="load a previously saved model instead of fitting "
+                         "(the Koopman analogue of the reference's PINc "
+                         "checkpoint skip-if-exists flow)")
     args = ap.parse_args(argv)
 
     ds = common.load_or_generate(args, csv_loader.load_thruster_dataset)
     train, test = csv_loader.train_test_split(ds, args.train_split)
     info(f"Train: {len(train.X)} | Test: {len(test.X)}")
 
-    model, t_fit_cold, t_fit = common.fit_koopman_from_args(
-        args, jax.random.PRNGKey(args.seed),
-        jnp.asarray(train.X, jnp.float32), jnp.asarray(train.U, jnp.float32),
-        loader=csv_loader.load_thruster_dataset,
-    )
+    if args.load_model:
+        info(f"Loading Koopman model: {args.load_model}")
+        model = koopman.load_model(args.load_model)
+        t_fit_cold = t_fit = 0.0
+    else:
+        model, t_fit_cold, t_fit = common.fit_koopman_from_args(
+            args, jax.random.PRNGKey(args.seed),
+            jnp.asarray(train.X, jnp.float32), jnp.asarray(train.U, jnp.float32),
+            loader=csv_loader.load_thruster_dataset,
+        )
     common.summarize_fit("Koopman", t_fit_cold, t_fit)
     if args.decoder:
         model = koopman.fit_decoder(model, jnp.asarray(train.X, jnp.float32))
         info("Learned linear decoder fitted (x ~ W z readout).")
+    if args.save_model:
+        koopman.save_model(args.save_model, model)
+        ok(f"Saved Koopman model -> {args.save_model}")
 
     X_test = jnp.asarray(test.X, jnp.float32)
     U_test = jnp.asarray(test.U, jnp.float32)

@@ -193,6 +193,53 @@ def fit_decoder(model: KoopmanModel, X, ridge: float = 1e-6) -> KoopmanModel:
 
 
 # ---------------------------------------------------------------------------
+# Persistence (extension: the reference refits every run; SURVEY §5 calls
+# out checkpointing the deterministic Koopman fit as the TPU equivalent of
+# its torch save/load flow)
+# ---------------------------------------------------------------------------
+
+def save_model(path, model: KoopmanModel) -> None:
+    """Save a fitted model as a self-describing ``.npz`` (optional fields
+    included only when present)."""
+    import numpy as np
+
+    arrays = {
+        "centers": np.asarray(jax.device_get(model.centers)),
+        "gamma": np.asarray(jax.device_get(model.gamma)),
+        "A": np.asarray(jax.device_get(model.A)),
+        "B": np.asarray(jax.device_get(model.B)),
+    }
+    if model.decoder is not None:
+        arrays["decoder"] = np.asarray(jax.device_get(model.decoder))
+    if model.rbf_weights is not None:
+        arrays["rbf_weights"] = np.asarray(jax.device_get(model.rbf_weights))
+    import io
+    import pathlib
+
+    path = pathlib.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    path.write_bytes(buf.getvalue())
+
+
+def load_model(path, dtype=jnp.float32) -> KoopmanModel:
+    """Load a model saved by :func:`save_model`."""
+    import numpy as np
+
+    with np.load(path) as z:
+        return KoopmanModel(
+            centers=jnp.asarray(z["centers"], dtype),
+            gamma=jnp.asarray(z["gamma"], dtype),
+            A=jnp.asarray(z["A"], dtype),
+            B=jnp.asarray(z["B"], dtype),
+            decoder=jnp.asarray(z["decoder"], dtype) if "decoder" in z else None,
+            rbf_weights=(jnp.asarray(z["rbf_weights"], dtype)
+                         if "rbf_weights" in z else None),
+        )
+
+
+# ---------------------------------------------------------------------------
 # Scoring & simulation
 # ---------------------------------------------------------------------------
 

@@ -315,3 +315,25 @@ def test_tank_wrench_comp_multi_csv(tmp_path, capsys):
     assert np.all(np.isfinite(out["koopman"]))
     text = capsys.readouterr().out
     assert "Multi-trajectory fit over 2 recordings" in text
+
+
+def test_tank_koopman_save_load_model(tmp_path, capsys):
+    """--save-model / --load-model: the deterministic Koopman fit is
+    cacheable like the reference's PINc checkpoint (SURVEY §5)."""
+    import jax.numpy as jnp
+
+    from bluerov2_dynamics_tpu.apps import tank_koopman
+    from bluerov2_dynamics_tpu.models import koopman
+
+    mpath = str(tmp_path / "koop.npz")
+    out1 = tank_koopman.main(_args(tmp_path, [
+        "--save-model", mpath, "--koopman-position-invariant", "--decoder",
+    ]))
+    out2 = tank_koopman.main(_args(tmp_path, ["--load-model", mpath]))
+    np.testing.assert_allclose(out1["pred"], out2["pred"], atol=1e-6)
+    text = capsys.readouterr().out
+    assert "Loading Koopman model" in text
+
+    m = koopman.load_model(mpath)
+    assert m.decoder is not None and m.rbf_weights is not None
+    assert m.rbf_weights[0] == 0.0  # position-invariant mask survived
