@@ -9,8 +9,12 @@ boundary between host and device (SURVEY.md §7).  Sub-modules:
 * :mod:`wrench` — effectiveness-matrix wrench augmentation of thruster CSVs.
 * :mod:`sanity` — kinematic-consistency dataset checks.
 * :mod:`t200` — T200 thrust-curve polynomial fitting from bench-test tables.
-* :mod:`bag2csv` — rosbag2 -> 50 Hz CSV ingestion (requires the optional
-  ``rosbags`` package; gated).
+* :mod:`bag2csv` — rosbag2 -> 50 Hz CSV ingestion (uses the optional
+  ``rosbags`` package when present, otherwise the built-in sqlite3+CDR
+  reader in :mod:`bag_sqlite`/:mod:`cdr`).
+* :mod:`typesys` — dependency-free ``.msg``/``.idl`` type definitions ->
+  generic schema-driven CDR decoding (the reference's custom-type
+  registration, ``rosbags/bag2csv.py:74-97``).
 """
 
 from bluerov2_dynamics_tpu.data.csv_loader import (  # noqa: F401
