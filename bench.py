@@ -420,10 +420,42 @@ def run_full():
                      pallas_sps * t_cons,
                      "fraction_of_xla_transcendental_bucket_ceiling", None))
 
+    def sec_numerics_guard():
+        # Round-2 bf16 Gram-cancellation regression guard, executed on the
+        # REAL device every round: at the TPU-default single-pass-bf16
+        # matmul precision, the RBF distance GEMM cancels catastrophically
+        # for states far from the origin (psi ~ 60 rad on wound
+        # recordings) — the fix pins Precision.HIGHEST in ops/lifting.py.
+        # CPU tests cannot catch a regression here (XLA:CPU ignores matmul
+        # precision hints entirely), so the contract is asserted on-chip
+        # and the error lands in BENCH_r{N}.json where a regression is
+        # visible.  Measured healthy value on the chip: ~3e-3 (f32
+        # accumulation of ||x||^2 ~ 3.8e3 costs eps*|x2| ~ 5e-4 in the
+        # distance); the round-2 failure mode gives inf/NaN.
+        import numpy as np
+
+        from bluerov2_dynamics_tpu.ops.lifting import rbf_lift
+
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(256, 12))
+        X[:, 5] += 60.0  # unwrapped psi far from origin
+        C = X[rng.choice(256, 50, replace=False)] + 0.01 * rng.normal(size=(50, 12))
+        got = np.asarray(rbf_lift(
+            jnp.asarray(X, jnp.float32), jnp.asarray(C, jnp.float32),
+            jnp.asarray(3.0, jnp.float32),
+        ))
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        want = np.concatenate([X, np.exp(-3.0 * d2)], axis=1)
+        err = float(np.max(np.abs(got - want)))
+        rows.append(("rbf_lift_far_state_max_abs_err_vs_f64", err,
+                     "abs_err (healthy ~3e-3; inf/NaN = bf16 regression)",
+                     None))
+
     section("koopman", sec_koopman)
     section("fossen_eval", sec_fossen_eval)
     section("layouts", sec_layouts)
     section("roofline", sec_roofline)
+    section("numerics_guard", sec_numerics_guard)
 
     for metric, value, unit, vs in rows:
         print(json.dumps({"metric": metric, "value": value, "unit": unit,

@@ -191,6 +191,36 @@ def fit_koopman_from_args(args, key, X_tr, U_tr, loader: Callable = None):
     return model, cold, warm
 
 
+def endpoint_evaluator_with_pallas(X_test, U_test, build_pallas, scan_eval):
+    """Shared physics-baseline evaluator policy: ``fn(H) -> endpoint RMSE``.
+
+    On TPU the Pallas VMEM kernel built by ``build_pallas(H)`` runs (with
+    a per-H cache so warm timings stay warm); elsewhere ``scan_eval(H)``.
+    ``H >= len(X_test)`` returns NaN (reference evaluator semantics).
+    One implementation for every workload's backend switch — the kernel
+    factory is the only thing that differs per input contract.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from bluerov2_dynamics_tpu.eval.metrics import rmse
+
+    use_pallas = jax.default_backend() == "tpu"
+    cache: Dict[int, Callable] = {}
+
+    def run(H: int):
+        if X_test.shape[0] - H <= 0:
+            return jnp.asarray(jnp.nan, X_test.dtype)
+        if use_pallas:
+            if H not in cache:
+                cache[H] = build_pallas(H)
+            final = cache[H](X_test, U_test)
+            return rmse(X_test[H:].astype(final.dtype), final)
+        return scan_eval(H)
+
+    return run
+
+
 def timed_metric_table(
     evaluators: Dict[str, Callable[[int], float]],
     horizons: Sequence[int] = HORIZONS,

@@ -25,6 +25,12 @@ def main(argv=None):
     ap.set_defaults(n_rbfs=200, gamma=1.0, ridge=1e-3, steps=48_000, dt=0.05)
     ap.add_argument("--demo-steps", type=int, default=200)
     args = ap.parse_args(argv)
+    if getattr(args, "extra_csv", None):
+        raise SystemExit(
+            "--extra-csv applies to the tank workloads; the simulation "
+            "workload (T1) generates its own dataset and would silently "
+            "ignore the extra recordings."
+        )
 
     sim = generate_sim_dataset(
         jax.random.PRNGKey(args.seed), n_steps=args.steps, dt=args.dt

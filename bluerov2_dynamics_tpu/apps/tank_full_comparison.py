@@ -128,6 +128,16 @@ def main(argv=None):
             position_invariant=pi_flag,
         )
         t_pinc = 0.0
+    elif ckpt.suffix == ".pt":
+        # a missing .pt path must NOT fall into the train branch: the
+        # trained msgpack bytes would be saved under the .pt name and the
+        # import branch above would try to torch.load them on the next run
+        raise SystemExit(
+            f"--pinc-ckpt {ckpt}: .pt paths are for importing an existing "
+            "torch checkpoint (e.g. the reference's models/pinc_best.pt), "
+            "but the file does not exist. To train and checkpoint, pass a "
+            ".msgpack path."
+        )
     else:
         import json
 

@@ -28,35 +28,23 @@ def fossen_evaluator(dt, X_test, U_test, method="euler"):
     On TPU the VMEM-resident Pallas evaluator is used (35x faster than the
     XLA scan at H=100); elsewhere the scan evaluator runs.
     """
+    from bluerov2_dynamics_tpu.ops.pallas_eval import make_endpoint_final_pallas
+
     p = fossen_params()
     cfg = thruster_config()
     lag = lag_params(dt)
     step = fossen.make_thruster_step(p, cfg, lag, dt, method=method)
-    use_pallas = jax.default_backend() == "tpu"
-    _pallas_fns = {}  # cache jitted kernels per horizon
-
-    def run(H: int):
-        if X_test.shape[0] - H <= 0:  # reference evaluators return NaN
-            return jnp.asarray(jnp.nan, X_test.dtype)
-        if use_pallas:
-            from bluerov2_dynamics_tpu.eval.metrics import rmse
-            from bluerov2_dynamics_tpu.ops.pallas_eval import (
-                make_endpoint_final_pallas,
-            )
-
-            if H not in _pallas_fns:
-                _pallas_fns[H] = make_endpoint_final_pallas(
-                    p, cfg, lag, dt, H, method=method
-                )
-            final = _pallas_fns[H](X_test, U_test)
-            return rmse(X_test[H:].astype(final.dtype), final)
-        return metrics.endpoint_rmse_carry(
+    return common.endpoint_evaluator_with_pallas(
+        X_test, U_test,
+        build_pallas=lambda H: make_endpoint_final_pallas(
+            p, cfg, lag, dt, H, method=method
+        ),
+        scan_eval=lambda H: metrics.endpoint_rmse_carry(
             step,
             lambda x: jnp.zeros((*x.shape[:-1], 8, 3), x.dtype),
             X_test, U_test, H,
-        )
-
-    return run
+        ),
+    )
 
 
 def main(argv=None):

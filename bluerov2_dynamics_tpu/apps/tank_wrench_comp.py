@@ -63,27 +63,19 @@ def main(argv=None):
     fossen_step = fossen.make_wrench_step(p, dt, method="euler", state="euler12")
     di_step = di.make_step_euler12(gains, dt)
 
-    # Fossen baseline: VMEM-resident Pallas evaluator on TPU (same policy
-    # as the thruster workloads, tank_koopman.fossen_evaluator); XLA scan
-    # elsewhere. Parity tested in test_pallas_eval.py.
-    use_pallas = jax.default_backend() == "tpu"
-    _pallas_fns = {}
+    # Fossen baseline: VMEM-resident Pallas evaluator on TPU, XLA scan
+    # elsewhere (shared policy; parity tested in test_pallas_eval.py)
+    from bluerov2_dynamics_tpu.ops.pallas_eval import (
+        make_endpoint_final_pallas_wrench,
+    )
 
-    def fossen_eval(H: int):
-        if X_te.shape[0] - H <= 0:
-            return jnp.asarray(jnp.nan, X_te.dtype)
-        if use_pallas:
-            from bluerov2_dynamics_tpu.ops.pallas_eval import (
-                make_endpoint_final_pallas_wrench,
-            )
-
-            if H not in _pallas_fns:
-                _pallas_fns[H] = make_endpoint_final_pallas_wrench(
-                    p, dt, H, method="euler"
-                )
-            final = _pallas_fns[H](X_te, U_te)
-            return metrics.rmse(X_te[H:].astype(final.dtype), final)
-        return metrics.endpoint_rmse(fossen_step, X_te, U_te, H)
+    fossen_eval = common.endpoint_evaluator_with_pallas(
+        X_te, U_te,
+        build_pallas=lambda H: make_endpoint_final_pallas_wrench(
+            p, dt, H, method="euler"
+        ),
+        scan_eval=lambda H: metrics.endpoint_rmse(fossen_step, X_te, U_te, H),
+    )
 
     common.timed_metric_table(
         {

@@ -70,7 +70,7 @@ class Field(NamedTuple):
 # ---------------------------------------------------------------------------
 
 _MSG_FIELD = re.compile(
-    r"^\s*([\w/]+)\s*(\[(<=?\s*)?(\d*)\])?\s+(\w+)\s*(=.*|\s.*)?$"
+    r"^\s*([\w/]+(?:<=\s*\d+)?)\s*(\[(<=?\s*)?(\d*)\])?\s+(\w+)\s*(=.*|\s.*)?$"
 )
 
 
@@ -78,9 +78,13 @@ def parse_msg(text: str, typename: str = "") -> List[Field]:
     """Parse a ROS 2 ``.msg`` definition body into a field schema.
 
     Constants (``TYPE NAME=value``) define no wire data and are skipped;
-    default values after the field name are tolerated.  A bare nested type
-    (``Header header``) is namespaced against ``typename``'s package when
-    it carries no ``/``.
+    default values after the field name are tolerated; bounded strings
+    (``string<=N``) decode like unbounded ones (same wire format).  A bare
+    nested type (``Header header``) is namespaced against ``typename``'s
+    package when it carries no ``/``.  A non-empty line that parses as
+    neither a field nor a constant raises — silently skipping one would
+    shift the CDR offsets of every subsequent field (wrong values, no
+    error).
     """
     fields: List[Field] = []
     pkg = typename.split("/")[0] if "/" in typename else ""
@@ -90,8 +94,12 @@ def parse_msg(text: str, typename: str = "") -> List[Field]:
             continue
         m = _MSG_FIELD.match(line)
         if not m:
-            continue
+            raise ValueError(
+                f"unparseable .msg field line {line!r} in {typename or '<msg>'}"
+                " — a skipped field would silently misalign the CDR decode"
+            )
         kind, arr, bounded, n, name, trailer = m.groups()
+        kind = re.sub(r"<=\s*\d+$", "", kind)  # bounded string: same wire fmt
         if trailer and trailer.strip().startswith("="):
             continue  # constant
         if kind in _MSG_PRIMS:
@@ -121,8 +129,14 @@ def parse_msg(text: str, typename: str = "") -> List[Field]:
 def _strip_idl(text: str) -> str:
     text = re.sub(r"/\*.*?\*/", " ", text, flags=re.S)     # block comments
     text = re.sub(r"//[^\n]*", " ", text)                  # line comments
-    # annotations: @name or @name (...) possibly spanning lines
-    text = re.sub(r"@\w+\s*(\([^)]*\))?", " ", text, flags=re.S)
+    # annotations: @name or @name (...) possibly spanning lines.  The
+    # parenthesised payload may contain ')' INSIDE quoted strings — e.g.
+    # rosidl's @verbatim (language="comment", text="Heading (rad)") — so
+    # the content pattern consumes quoted strings atomically.
+    text = re.sub(
+        r"@\w+\s*(\((?:[^()\"']|\"[^\"]*\"|'[^']*')*\))?", " ", text,
+        flags=re.S,
+    )
     return text
 
 

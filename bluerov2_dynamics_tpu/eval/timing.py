@@ -25,18 +25,28 @@ import numpy as np
 
 def sync(result):
     """Force completion of ``result``'s computation (host readback of one
-    element of EVERY array leaf); returns ``result``.
+    element per DISTINCT device among the array leaves); returns ``result``.
 
-    Every leaf is read, not just the first: a pytree result whose leaves
-    live on different devices (sharded outputs) would otherwise only
-    barrier the first leaf's device and the under-measurement this
-    function exists to prevent could reappear.  Leaves of a single-device
-    result share one stream, so the extra readbacks are one RTT each.
+    One readback per device, not per leaf: a pytree whose leaves live on
+    different devices (sharded outputs) needs every device barriered, but
+    leaves sharing a device share one execution stream — per-leaf
+    readbacks would add one tunnel RTT (~1-4 ms) each inside the timed
+    region and bias warm timings of multi-leaf results (e.g. a fitted
+    model pytree) upward for no extra correctness.
     """
     jax.block_until_ready(result)
+    seen = set()
     for leaf in jax.tree.leaves(result):
-        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
-            np.asarray(jax.device_get(leaf.ravel()[0]))
+        if not (hasattr(leaf, "ravel") and getattr(leaf, "size", 0)):
+            continue
+        try:
+            devs = frozenset(leaf.devices())
+        except Exception:
+            devs = None  # non-jax array (numpy): no device to barrier
+        if devs is None or devs in seen:
+            continue
+        seen.add(devs)
+        np.asarray(jax.device_get(leaf.ravel()[0]))
     return result
 
 

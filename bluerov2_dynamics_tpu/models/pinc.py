@@ -227,8 +227,15 @@ def load_torch_checkpoint(path, hidden: Sequence[int] = (64, 64, 64, 64),
     import numpy as onp
     import torch
 
-    sd = torch.load(str(path), map_location="cpu")
-    if hasattr(sd, "state_dict"):  # a full module was saved, not a state dict
+    try:
+        sd = torch.load(str(path), map_location="cpu", weights_only=True)
+    except Exception:
+        # a full module was pickled (torch >= 2.6 refuses it under the
+        # weights_only default); fall back to a full unpickle — the
+        # checkpoint is a user-supplied local file, same trust model as
+        # the reference's own torch.load
+        sd = torch.load(str(path), map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
 
     def arr(key, transpose=False):

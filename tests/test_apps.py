@@ -337,3 +337,28 @@ def test_tank_koopman_save_load_model(tmp_path, capsys):
     m = koopman.load_model(mpath)
     assert m.decoder is not None and m.rbf_weights is not None
     assert m.rbf_weights[0] == 0.0  # position-invariant mask survived
+
+
+def test_flagship_rejects_missing_pt_checkpoint(tmp_path):
+    """A nonexistent --pinc-ckpt *.pt must error out, not train and save
+    msgpack bytes under the .pt name (which would poison the next run's
+    torch import branch)."""
+    import pytest as _pytest
+
+    from bluerov2_dynamics_tpu.apps import tank_full_comparison
+
+    with _pytest.raises(SystemExit, match="msgpack"):
+        tank_full_comparison.main(_args(tmp_path, [
+            "--pinc-ckpt", str(tmp_path / "missing.pt"),
+        ]))
+    assert not (tmp_path / "missing.pt").exists()
+
+
+def test_sim_koopman_rejects_extra_csv(tmp_path):
+    import pytest as _pytest
+
+    from bluerov2_dynamics_tpu.apps import sim_koopman
+
+    with _pytest.raises(SystemExit, match="tank workloads"):
+        sim_koopman.main(["--steps", "400", "--no-media",
+                          "--extra-csv", "whatever.csv"])

@@ -202,3 +202,38 @@ def test_bag_sqlite_generic_fallback(tmp_path, rng):
     assert msg.valid is True
     np.testing.assert_allclose(msg.roll, vals["roll"], rtol=1e-6)
     assert msg.buttons == 3
+
+
+def test_idl_annotation_with_parens_in_quotes():
+    """rosidl @verbatim annotations routinely contain ')' inside quoted
+    text ('Heading (rad)'); the stripper must consume quoted strings
+    atomically or the next field's type is corrupted."""
+    idl = """\
+module demo {
+  module msg {
+    struct Annotated {
+      @verbatim (language="comment", text="Heading accuracy (rad)")
+      float heading;
+      uint32 counter;
+    };
+  };
+};
+"""
+    got = typesys.parse_idl(idl)
+    assert got["demo/msg/Annotated"] == [
+        typesys.Field("heading", "float32", None),
+        typesys.Field("counter", "uint32", None),
+    ]
+
+
+def test_msg_bounded_string_and_unparseable_line():
+    """Bounded strings parse (same wire format as unbounded); a field line
+    that cannot be parsed raises instead of silently misaligning every
+    subsequent field's CDR offset."""
+    fields = typesys.parse_msg("string<=64 name\nfloat64 x\n", "d/msg/S")
+    assert fields == [typesys.Field("name", "string", None),
+                      typesys.Field("x", "float64", None)]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unparseable"):
+        typesys.parse_msg("float64[3 broken\n", "d/msg/S")
