@@ -26,7 +26,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from bluerov2_dynamics_tpu.models.params import FossenParams, LagParams, ThrusterConfig
-from bluerov2_dynamics_tpu.ops.pallas_rollout import _make_rhs_const, _scalar
+from bluerov2_dynamics_tpu.ops.pallas_rollout import (
+    _make_rhs_rows,
+    _rk4_rows,
+    _scalar,
+)
 
 
 def _make_thruster_window_kernel(
@@ -40,8 +44,15 @@ def _make_thruster_window_kernel(
     """Shared kernel body: one grid step of the sliding-window thruster-
     input rollout (state + lag filters in VMEM scratch persisting over the
     time dimension of the grid).  Used by the single-device evaluator and
-    the shard_map-sharded variant."""
-    rhs = _make_rhs_const(p)
+    the shard_map-sharded variant.
+
+    Layout: the RK4 stages run on the 12-tuple row representation
+    (:func:`.pallas_rollout._make_rhs_rows` — native vreg layout, no
+    per-stage sublane relayouts); the lag filter stays on aligned
+    (8, block) slabs (already relayout-free).  Rows are extracted from /
+    written to the (12, block) scratch once per grid step.
+    """
+    rhs = _make_rhs_rows(p)
     # constants baked as (nested) Python floats — numpy f64 scalars would
     # promote the f32 kernel carry under jax_enable_x64
     c1, c3, c5, c7, c9 = (_scalar(cfg.curve[i]) for i in range(5))
@@ -58,7 +69,6 @@ def _make_thruster_window_kernel(
             x_scr[:] = x_ref[:]
             l_scr[:] = jnp.zeros_like(l_scr)
 
-        x = x_scr[:]                     # (12, block_b)
         u = u_ref[0]                     # (8, block_b)
         u2 = u * u
         F_cmd = u * (c1 + u2 * (c3 + u2 * (c5 + u2 * (c7 + u2 * c9))))
@@ -71,19 +81,15 @@ def _make_thruster_window_kernel(
             l_scr[:] = jnp.stack([N0, N1, N2])
         else:
             F = F_cmd
+        Frows = tuple(F[j] for j in range(8))
         tau = tuple(
-            sum(Wm[j][i] * F[j] for j in range(8) if Wm[j][i] != 0.0)
+            sum(Wm[j][i] * Frows[j] for j in range(8) if Wm[j][i] != 0.0)
             for i in range(6)
         )
-        if method == "euler":
-            x = x + dt * rhs(x, tau)
-        else:
-            k1 = rhs(x, tau)
-            k2 = rhs(x + (0.5 * dt) * k1, tau)
-            k3 = rhs(x + (0.5 * dt) * k2, tau)
-            k4 = rhs(x + dt * k3, tau)
-            x = x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
-        x_scr[:] = x
+        xs = tuple(x_scr[i] for i in range(12))
+        xs = _rk4_rows(rhs, xs, tau, dt, method)
+        for i in range(12):
+            x_scr[i] = xs[i]
 
         @pl.when(t == pl.num_programs(1) - 1)
         def _():
@@ -167,9 +173,10 @@ def make_endpoint_final_pallas_wrench(
     6-D body wrench (the T3 workload's physics baseline,
     ``fossen/BlueROV2_thrust.py:235-282``): no thruster curve, no lag
     filter, no lag scratch.  ``X``: ``(N, 12)``; ``TAU``: ``(N, 6)``;
-    returns the ``(N-H, 12)`` endpoint states.
+    returns the ``(N-H, 12)`` endpoint states.  RK4 stages run on the
+    row representation (see :func:`_make_thruster_window_kernel`).
     """
-    rhs = _make_rhs_const(p)
+    rhs = _make_rhs_rows(p)
 
     def kernel(tau_ref, x_ref, out_ref, x_scr):
         t = pl.program_id(1)
@@ -178,18 +185,11 @@ def make_endpoint_final_pallas_wrench(
         def _():
             x_scr[:] = x_ref[:]
 
-        x = x_scr[:]                       # (12, block_b)
-        tau6 = tau_ref[0]                  # (6, block_b)
-        tau = tuple(tau6[j] for j in range(6))
-        if method == "euler":
-            x = x + dt * rhs(x, tau)
-        else:
-            k1 = rhs(x, tau)
-            k2 = rhs(x + (0.5 * dt) * k1, tau)
-            k3 = rhs(x + (0.5 * dt) * k2, tau)
-            k4 = rhs(x + dt * k3, tau)
-            x = x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
-        x_scr[:] = x
+        tau = tuple(tau_ref[0, j] for j in range(6))
+        xs = tuple(x_scr[i] for i in range(12))
+        xs = _rk4_rows(rhs, xs, tau, dt, method)
+        for i in range(12):
+            x_scr[i] = xs[i]
 
         @pl.when(t == pl.num_programs(1) - 1)
         def _():

@@ -52,7 +52,7 @@ def _scalar(x) -> float:
     return float(jax.device_get(x))
 
 
-def _make_rhs_const(p: FossenParams):
+def _make_rhs_rows(p: FossenParams):
     """Closed-form euler12 RHS with all coefficients as Python floats.
 
     Same math as ``fossen.wrench_rhs_euler``, INCLUDING the constant NED
@@ -60,7 +60,13 @@ def _make_rhs_const(p: FossenParams):
     to body frame per state with the R rows already computed here, and the
     relative velocity enters the damping on the linear DOFs only.  A zero
     current (the default) bakes to exactly the previous arithmetic.
-    Operates on ``x`` of shape (12, B) tiles; ``tau`` is six scalars.
+
+    **State representation: a 12-tuple of (B,) row vectors**, NOT a
+    stacked (12, B) array.  On TPU a (B,) vector is already in the native
+    (8, 128) vreg layout, while every row extraction from / stack into a
+    (12, B) tile is a sublane relayout — keeping the RK4 stages entirely
+    in rows made the rollout kernel 3.3x faster (bit-identical results).
+    ``tau`` is a 6-sequence of scalars or (B,) vectors (broadcasting).
     """
     mdiag = [_scalar(v) for v in p.mdiag]
     minv = [_scalar(v) for v in p.minv]
@@ -144,9 +150,35 @@ def _make_rhs_const(p: FossenParams):
         dtheta = cphi * q - sphi * r
         dpsi = (sphi * q + cphi * r) / cth_c
 
-        return jnp.stack(
-            [px, py, pz, dphi, dtheta, dpsi, nd0, nd1, nd2, nd3, nd4, nd5]
-        )
+        return (px, py, pz, dphi, dtheta, dpsi,
+                nd0, nd1, nd2, nd3, nd4, nd5)
+
+    return rhs
+
+
+def _rk4_rows(rhs, xs, tau, dt, method):
+    """One integrator step on the 12-tuple row state (no relayouts)."""
+    if method == "euler":
+        k1 = rhs(xs, tau)
+        return tuple(x + dt * k for x, k in zip(xs, k1))
+    k1 = rhs(xs, tau)
+    k2 = rhs(tuple(x + (0.5 * dt) * k for x, k in zip(xs, k1)), tau)
+    k3 = rhs(tuple(x + (0.5 * dt) * k for x, k in zip(xs, k2)), tau)
+    k4 = rhs(tuple(x + dt * k for x, k in zip(xs, k3)), tau)
+    return tuple(
+        x + (dt / 6.0) * (a + 2.0 * b + 2.0 * c + d)
+        for x, a, b, c, d in zip(xs, k1, k2, k3, k4)
+    )
+
+
+def _make_rhs_const(p: FossenParams):
+    """Stacked-array compatibility wrapper over :func:`_make_rhs_rows`:
+    ``x`` is a (12, B) tile, the return is a stacked (12, B) array.  Hot
+    kernels should use the rows form directly (see its docstring)."""
+    rhs_rows = _make_rhs_rows(p)
+
+    def rhs(x, tau):
+        return jnp.stack(rhs_rows(tuple(x[i] for i in range(12)), tau))
 
     return rhs
 
@@ -166,24 +198,26 @@ def make_rollout_final_pallas(
     ``x0``: ``(B, 12)`` (B divisible by ``block_b``); ``U``: ``(T, 8)``
     shared commands.  The physical constants are extracted eagerly here
     (compile-time floats), so the returned function is jit/trace-safe.
+
+    The T-step loop carries the state as a 12-tuple of (block_b,) rows —
+    native vreg layout, zero sublane relayouts inside the loop (the
+    stacked (12, B) carry paid 4 row-extracts + 4 stacks per RK4 step and
+    ran 3.3x slower at identical numerics).  The (12, B) array form only
+    exists at the block boundaries (one read, one write).
     """
-    rhs = _make_rhs_const(p)
+    rhs = _make_rhs_rows(p)
 
     def kernel_factory(T):
         def kernel(tau_ref, x_ref, out_ref):
-            x = x_ref[:]  # (12, block_b)
+            xs = tuple(x_ref[i] for i in range(12))
 
-            def body(t, x):
+            def body(t, xs):
                 tau = tuple(tau_ref[t, j] for j in range(6))
-                if method == "euler":
-                    return x + dt * rhs(x, tau)
-                k1 = rhs(x, tau)
-                k2 = rhs(x + (0.5 * dt) * k1, tau)
-                k3 = rhs(x + (0.5 * dt) * k2, tau)
-                k4 = rhs(x + dt * k3, tau)
-                return x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+                return _rk4_rows(rhs, xs, tau, dt, method)
 
-            out_ref[:] = jax.lax.fori_loop(0, T, body, x)
+            xs = jax.lax.fori_loop(0, T, body, xs)
+            for i in range(12):
+                out_ref[i] = xs[i]
 
         return kernel
 
