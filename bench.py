@@ -420,6 +420,33 @@ def run_full():
                      pallas_sps / trig_bound,
                      "fraction_of_trig_only_upper_bound", None))
 
+    def sec_quat_rollout():
+        # quat13 wrench-input VMEM rollout: trig-free kinematics, so not
+        # bounded by transcendental throughput like the euler12 kernel
+        from bluerov2_dynamics_tpu.models.params import fossen_params
+        from bluerov2_dynamics_tpu.ops.pallas_quat import (
+            make_rollout_final_pallas_quat,
+        )
+
+        B, T, iters = 65536, 500, 3
+        p = fossen_params()
+        roll = make_rollout_final_pallas_quat(p, 0.02, method="rk4",
+                                              block_b=1024)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        x0 = 0.1 * jax.random.normal(k1, (B, 13), jnp.float32)
+        x0 = x0.at[:, 3].add(1.0)  # near-identity quats
+        TAU = 3.0 * jax.random.normal(k2, (T, 6), jnp.float32)
+        out = roll(x0, TAU)
+        float(out[0, 0])  # warm + completion
+        t0 = time.perf_counter()
+        x = x0
+        for _ in range(iters):
+            x = roll(x, TAU)  # chained
+        float(x[0, 0])
+        elapsed = (time.perf_counter() - t0) / iters
+        rows.append(("fossen_quat13_rk4_steps_per_sec", B * T / elapsed,
+                     "13state_rk4_steps/s", None))
+
     def sec_numerics_guard():
         # Round-2 bf16 Gram-cancellation regression guard, executed on the
         # REAL device every round: at the TPU-default single-pass-bf16
@@ -454,6 +481,7 @@ def run_full():
     # roofline first: its kernel measurement must not inherit queued work
     # from the other sections (measured: +60% runtime when run last)
     section("roofline", sec_roofline)
+    section("quat_rollout", sec_quat_rollout)
     section("koopman", sec_koopman)
     section("fossen_eval", sec_fossen_eval)
     section("layouts", sec_layouts)

@@ -64,6 +64,20 @@ def main(argv=None):
     fossen_step = fossen.make_wrench_step(p, dt, method="euler", state="quat13")
     di_step = di.make_step_quat13(gains, dt)
 
+    # Fossen baseline: quat13 VMEM Pallas evaluator on TPU, XLA scan
+    # elsewhere (shared policy; parity tested in test_pallas_quat.py)
+    from bluerov2_dynamics_tpu.ops.pallas_quat import (
+        make_endpoint_final_pallas_quat,
+    )
+
+    fossen_eval = common.endpoint_evaluator_with_pallas(
+        X_te, U_te,
+        build_pallas=lambda H: make_endpoint_final_pallas_quat(
+            p, dt, H, method="euler"
+        ),
+        scan_eval=lambda H: metrics.endpoint_rmse(fossen_step, X_te, U_te, H),
+    )
+
     def koopman_eval(H: int):
         # the reference renormalizes the quaternion block of Koopman
         # predictions before scoring (train_tank_brov2_wrench_quat.py:466-467)
@@ -82,7 +96,7 @@ def main(argv=None):
     common.timed_metric_table(
         {
             "Koopman (quat)": koopman_eval,
-            "Fossen (quat)": lambda H: metrics.endpoint_rmse(fossen_step, X_te, U_te, H),
+            "Fossen (quat)": fossen_eval,
             "DI (quat)": lambda H: metrics.endpoint_rmse(di_step, X_te, U_te, H),
         }
     )

@@ -1,0 +1,267 @@
+"""Pallas TPU kernels for the QUATERNION-state wrench-input model.
+
+Completes the VMEM kernel family across the three state conventions
+(euler12 thruster-input: :mod:`pallas_rollout` / :mod:`pallas_eval`;
+euler12 wrench-input: :mod:`pallas_eval`; quat13 wrench-input: here).
+Reference semantics: ``fossen/BlueROV2_wrench.py:141-367`` — quaternion
+normalized on every RHS entry, restoring wrench from the third DCM row,
+post-step renormalization as in ``train_tank_brov2_wrench_quat.py:262-265``.
+
+Same layout discipline as the euler kernels: the 13-state is carried as a
+tuple of (B,) row vectors (native vreg layout — a stacked (13, B) tile
+pays a sublane relayout per row extract/stack; see
+``pallas_rollout._make_rhs_rows``).  The quaternion path is trig-free
+(polynomial kinematics + one rsqrt-class op per normalize), so it is not
+bounded by transcendental throughput like the Euler kernels.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bluerov2_dynamics_tpu.models.params import FossenParams
+from bluerov2_dynamics_tpu.ops.pallas_rollout import _scalar
+
+_NORM_EPS = 1e-12  # matches ops.quaternion._NORM_EPS
+
+
+def _normalize_q_rows(qw, qx, qy, qz):
+    """Row-wise quat normalize with the identity fallback of
+    ``ops.quaternion.quat_normalize``."""
+    n = jnp.sqrt(qw * qw + qx * qx + qy * qy + qz * qz)
+    small = n < _NORM_EPS
+    inv = 1.0 / jnp.where(small, 1.0, n)
+    return (
+        jnp.where(small, 1.0, qw * inv),
+        jnp.where(small, 0.0, qx * inv),
+        jnp.where(small, 0.0, qy * inv),
+        jnp.where(small, 0.0, qz * inv),
+    )
+
+
+def _make_rhs_quat_rows(p: FossenParams):
+    """quat13 wrench-input RHS on the 13-tuple row state.
+
+    Rows: ``(x, y, z, qw, qx, qy, qz, u, v, w, p, q, r)``; ``tau`` is a
+    6-sequence of scalars or (B,) vectors.  Same hydrodynamic terms as
+    the euler12 rows RHS; kinematics and restoring via the quaternion
+    (``fossen.wrench_rhs_quat``), including the constant NED current.
+    """
+    mdiag = [_scalar(v) for v in p.mdiag]
+    minv = [_scalar(v) for v in p.minv]
+    added = [_scalar(v) for v in p.added]
+    gyro = [_scalar(v) for v in p.gyro]
+    d_lin = [_scalar(v) for v in p.d_lin]
+    d_quad = [_scalar(v) for v in p.d_quad]
+    W = _scalar(p.W)
+    Bf = _scalar(p.B)
+    xb, yb, zb = (_scalar(v) for v in p.cb)
+    WB = W - Bf
+    xbB, ybB, zbB = xb * Bf, yb * Bf, zb * Bf
+    Xud, Yvd, Zwd = added[0], added[1], added[2]
+    cur = [_scalar(v) for v in jnp.broadcast_to(p.current, (3,))]
+    has_current = any(c != 0.0 for c in cur)
+    cnx, cny, cnz = cur
+
+    def rhs(x, tau):
+        qw, qx, qy, qz = _normalize_q_rows(x[3], x[4], x[5], x[6])
+        u, v, w = x[7], x[8], x[9]
+        pp, q, r = x[10], x[11], x[12]
+
+        # R_{b->n}(q) entries (reused for kinematics, restoring, current)
+        r00 = 1.0 - 2.0 * (qy * qy + qz * qz)
+        r01 = 2.0 * (qx * qy - qz * qw)
+        r02 = 2.0 * (qx * qz + qy * qw)
+        r10 = 2.0 * (qx * qy + qz * qw)
+        r11 = 1.0 - 2.0 * (qx * qx + qz * qz)
+        r12 = 2.0 * (qy * qz - qx * qw)
+        r20 = 2.0 * (qx * qz - qy * qw)
+        r21 = 2.0 * (qy * qz + qx * qw)
+        r22 = 1.0 - 2.0 * (qx * qx + qy * qy)
+
+        c0 = mdiag[2] * w * q - mdiag[1] * v * r
+        c1 = -mdiag[2] * w * pp + mdiag[0] * u * r
+        c2 = mdiag[1] * v * pp - mdiag[0] * u * q
+        c3 = gyro[0] * q * r + (Yvd - Zwd) * v * w
+        c4 = gyro[1] * pp * r + (Zwd - Xud) * u * w
+        c5 = gyro[2] * pp * q + (Xud - Yvd) * u * v
+
+        if has_current:
+            # v_c^b = R^T v_c^n; nu_r on linear DOFs, damping-only
+            ur = u - (r00 * cnx + r10 * cny + r20 * cnz)
+            vr = v - (r01 * cnx + r11 * cny + r21 * cnz)
+            wr = w - (r02 * cnx + r12 * cny + r22 * cnz)
+        else:
+            ur, vr, wr = u, v, w
+        d0 = (d_lin[0] + d_quad[0] * jnp.abs(ur)) * ur
+        d1 = (d_lin[1] + d_quad[1] * jnp.abs(vr)) * vr
+        d2 = (d_lin[2] + d_quad[2] * jnp.abs(wr)) * wr
+        d3 = (d_lin[3] + d_quad[3] * jnp.abs(pp)) * pp
+        d4 = (d_lin[4] + d_quad[4] * jnp.abs(q)) * q
+        d5 = (d_lin[5] + d_quad[5] * jnp.abs(r)) * r
+
+        # third DCM row: sth = -r20, cth_sphi = r21, cth_cphi = r22
+        sth = -r20
+        g0 = WB * sth
+        g1 = -WB * r21
+        g2 = -WB * r22
+        g3 = ybB * r22 - zbB * r21
+        g4 = -zbB * sth - xbB * r22
+        g5 = xbB * r21 + ybB * sth
+
+        nd0 = (tau[0] - c0 - d0 - g0) * minv[0]
+        nd1 = (tau[1] - c1 - d1 - g1) * minv[1]
+        nd2 = (tau[2] - c2 - d2 - g2) * minv[2]
+        nd3 = (tau[3] - c3 - d3 - g3) * minv[3]
+        nd4 = (tau[4] - c4 - d4 - g4) * minv[4]
+        nd5 = (tau[5] - c5 - d5 - g5) * minv[5]
+
+        px = r00 * u + r01 * v + r02 * w
+        py = r10 * u + r11 * v + r12 * w
+        pz = r20 * u + r21 * v + r22 * w
+
+        qdw = 0.5 * (-qx * pp - qy * q - qz * r)
+        qdx = 0.5 * (qw * pp + qy * r - qz * q)
+        qdy = 0.5 * (qw * q - qx * r + qz * pp)
+        qdz = 0.5 * (qw * r + qx * q - qy * pp)
+
+        return (px, py, pz, qdw, qdx, qdy, qdz,
+                nd0, nd1, nd2, nd3, nd4, nd5)
+
+    return rhs
+
+
+def _quat_step_rows(rhs, xs, tau, dt, method, renormalize):
+    """One integrator step + optional post-step quat renorm on rows."""
+    from bluerov2_dynamics_tpu.ops.pallas_rollout import _rk4_rows
+
+    xs = _rk4_rows(rhs, xs, tau, dt, method)
+    if renormalize:
+        qw, qx, qy, qz = _normalize_q_rows(xs[3], xs[4], xs[5], xs[6])
+        xs = xs[:3] + (qw, qx, qy, qz) + xs[7:]
+    return xs
+
+
+def make_endpoint_final_pallas_quat(
+    p: FossenParams,
+    dt: float,
+    H: int,
+    method: str = "euler",
+    block_b: int = 512,
+    interpret: bool = False,
+    renormalize: bool = True,
+):
+    """Build ``fn(X, TAU) -> final_states`` for the quat13 wrench model.
+
+    ``X``: ``(N, 13)`` recorded states; ``TAU``: ``(N, 6)``; returns the
+    ``(N-H, 13)`` endpoint states of all sliding-window rollouts.  Same
+    VMEM structure as the euler evaluators (grid (blocks, H), state in
+    scratch persisting over the time dimension, pre-shifted inputs).
+    """
+    rhs = _make_rhs_quat_rows(p)
+
+    def kernel(tau_ref, x_ref, out_ref, x_scr):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            x_scr[:] = x_ref[:]
+
+        tau = tuple(tau_ref[0, j] for j in range(6))
+        xs = tuple(x_scr[i] for i in range(13))
+        xs = _quat_step_rows(rhs, xs, tau, dt, method, renormalize)
+        for i in range(13):
+            x_scr[i] = xs[i]
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _():
+            out_ref[:] = x_scr[:]
+
+    @jax.jit
+    def fn(X, TAU):
+        N = X.shape[0]
+        n_start = N - H
+        assert n_start > 0, f"horizon H={H} >= dataset length {N}"
+        n_pad = -(-n_start // block_b) * block_b
+        x0 = X[:n_start].T.astype(jnp.float32)
+        if n_pad != n_start:
+            x0 = jnp.pad(x0, ((0, 0), (0, n_pad - n_start)))
+        tt = TAU.T.astype(jnp.float32)
+        if n_pad + H > TAU.shape[0]:
+            tt = jnp.pad(tt, ((0, 0), (0, n_pad + H - TAU.shape[0])))
+        tau_shift = jnp.stack(
+            [jax.lax.dynamic_slice_in_dim(tt, t, n_pad, axis=1) for t in range(H)]
+        )  # (H, 6, n_pad)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((13, n_pad), jnp.float32),
+            grid=(n_pad // block_b, H),
+            in_specs=[
+                pl.BlockSpec((1, 6, block_b), lambda i, t: (t, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((13, block_b), lambda i, t: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((13, block_b), lambda i, t: (0, i),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((13, block_b), jnp.float32)],
+            interpret=interpret,
+        )(tau_shift, x0)
+        return out[:, :n_start].T
+
+    return fn
+
+
+def make_rollout_final_pallas_quat(
+    p: FossenParams,
+    dt: float,
+    method: str = "rk4",
+    block_b: int = 1024,
+    interpret: bool = False,
+    renormalize: bool = True,
+):
+    """Build ``fn(x0, TAU_seq) -> xT``: whole quat13 rollout in VMEM under
+    a shared wrench sequence.  ``x0``: ``(B, 13)`` (B divisible by
+    ``block_b``); ``TAU_seq``: ``(T, 6)``.  Trig-free — not bounded by
+    transcendental throughput like the euler12 kernel.
+    """
+    rhs = _make_rhs_quat_rows(p)
+
+    def kernel_factory(T):
+        def kernel(tau_ref, x_ref, out_ref):
+            xs = tuple(x_ref[i] for i in range(13))
+
+            def body(t, xs):
+                tau = tuple(tau_ref[t, j] for j in range(6))
+                return _quat_step_rows(rhs, xs, tau, dt, method, renormalize)
+
+            xs = jax.lax.fori_loop(0, T, body, xs)
+            for i in range(13):
+                out_ref[i] = xs[i]
+
+        return kernel
+
+    @jax.jit
+    def fn(x0, TAU):
+        B = x0.shape[0]
+        T = TAU.shape[0]
+        assert B % block_b == 0, f"B={B} not divisible by block_b={block_b}"
+        out = pl.pallas_call(
+            kernel_factory(T),
+            out_shape=jax.ShapeDtypeStruct((13, B), jnp.float32),
+            grid=(B // block_b,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # (T, 6) wrenches
+                pl.BlockSpec((13, block_b), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((13, block_b), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(TAU.astype(jnp.float32), x0.T.astype(jnp.float32))
+        return out.T
+
+    return fn
