@@ -1,0 +1,31 @@
+"""CPU-safe tests of bench.py's audit helpers (the perf-record inputs)."""
+
+import subprocess
+import sys
+
+import bench
+
+
+def test_step_trig_count_matches_kernel_structure():
+    """24 sin/cos for RK4 (6 per RHS x 4 stages), 6 for Euler — audited
+    from the jaxpr of the exact Pallas kernel step."""
+    assert bench.step_trig_count("rk4") == 24
+    assert bench.step_trig_count("euler") == 6
+
+
+def test_step_costs_include_transcendentals():
+    flops, transc = bench.step_costs_per_trajectory("rk4")
+    assert flops > 1000  # full path incl. thruster map
+    assert transc > 0
+    flops_e, _ = bench.step_costs_per_trajectory("euler")
+    assert flops_e < flops  # 1 RHS eval vs 4
+
+
+def test_bench_cli_rejects_bad_args():
+    for bad in (["--batch", "0"], ["--t", "0"], ["--iters", "0"],
+                ["--batch", "100", "--block-b", "7"]):
+        proc = subprocess.run(
+            [sys.executable, "bench.py", *bad],
+            capture_output=True, text=True, cwd=".",
+        )
+        assert proc.returncode != 0, bad
