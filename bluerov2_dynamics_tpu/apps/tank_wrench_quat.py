@@ -64,31 +64,21 @@ def main(argv=None):
     fossen_step = fossen.make_wrench_step(p, dt, method="euler", state="quat13")
     di_step = di.make_step_quat13(gains, dt)
 
-    # Fossen baseline: quat13 VMEM Pallas evaluator (parity tested in
-    # test_pallas_quat.py) — OPT-IN via BROV2_QUAT_PALLAS=1 until its
-    # first compiled execution is verified on real TPU hardware (the
-    # euler kernels are hardware-proven; the quat kernel's maiden TPU run
-    # coincided with a tunnel outage this round, so it ships gated).
-    # The scan evaluator is already fast for this lag-free state (~0.06 s
-    # warm at H=100 on the chip, RESULTS.md §5).
-    import os
+    # Fossen baseline: quat13 VMEM Pallas evaluator on TPU, XLA scan
+    # elsewhere (shared policy; interpret-parity in test_pallas_quat.py,
+    # hardware-verified: exact RMSE vs scan, 9.4 ms warm at H=100 on the
+    # 9.1k-start tank shape vs ~60 ms for the scan)
+    from bluerov2_dynamics_tpu.ops.pallas_quat import (
+        make_endpoint_final_pallas_quat,
+    )
 
-    if os.environ.get("BROV2_QUAT_PALLAS") == "1":
-        from bluerov2_dynamics_tpu.ops.pallas_quat import (
-            make_endpoint_final_pallas_quat,
-        )
-
-        fossen_eval = common.endpoint_evaluator_with_pallas(
-            X_te, U_te,
-            build_pallas=lambda H: make_endpoint_final_pallas_quat(
-                p, dt, H, method="euler"
-            ),
-            scan_eval=lambda H: metrics.endpoint_rmse(
-                fossen_step, X_te, U_te, H),
-        )
-    else:
-        def fossen_eval(H):
-            return metrics.endpoint_rmse(fossen_step, X_te, U_te, H)
+    fossen_eval = common.endpoint_evaluator_with_pallas(
+        X_te, U_te,
+        build_pallas=lambda H: make_endpoint_final_pallas_quat(
+            p, dt, H, method="euler"
+        ),
+        scan_eval=lambda H: metrics.endpoint_rmse(fossen_step, X_te, U_te, H),
+    )
 
     def koopman_eval(H: int):
         # the reference renormalizes the quaternion block of Koopman
