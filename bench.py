@@ -26,6 +26,27 @@ import jax.numpy as jnp
 BASELINE_STEPS_PER_SEC = 851.0  # reference CPU single-trajectory RK4
 
 
+def chained_steps_per_sec(f, x0, total_steps: int, iters: int):
+    """The ONE timing discipline for device rollouts (CLAUDE.md: never
+    time any other way on this platform): warm once, then chain ``iters``
+    calls through a real data dependency (``x = f(x)``) and end the timed
+    region with a scalar host readback — ``block_until_ready`` alone can
+    return before the remote execution finishes (measured: 0.1 ms "per
+    call" unchained vs 45 ms chained for an identical kernel).
+
+    ``f(x) -> x`` must map the chained state to itself; returns
+    ``(steps_per_sec, seconds_per_call)``.
+    """
+    x = f(x0)
+    float(x[0, 0])  # warm (+ compile); readback forces real completion
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = f(x)
+    float(x[0, 0])
+    elapsed = (time.perf_counter() - t0) / iters
+    return total_steps / elapsed, elapsed
+
+
 def run_pallas(batch: int = 65536, T: int = 500, iters: int = 3,
                method: str = "rk4", block_b: int = 1024):
     from bluerov2_dynamics_tpu.models.params import (
@@ -45,20 +66,7 @@ def run_pallas(batch: int = 65536, T: int = 500, iters: int = 3,
     x0 = 0.1 * jax.random.normal(k1, (batch, 12), jnp.float32)
     U = jnp.clip(0.5 * jax.random.normal(k2, (T, 8), jnp.float32), -1.0, 1.0)
 
-    out = roll(x0, U)
-    float(out[0, 0])  # warm; readback forces real completion (see below)
-    # NOTE on timing methodology: on the tunneled platform
-    # ``block_until_ready`` can return before the remote execution has
-    # finished, so an unchained timing loop measures dispatch, not compute.
-    # Each iteration therefore CONSUMES the previous final state as its
-    # initial state (a real data dependency), and the timed region ends
-    # with a scalar host readback.
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x0 = roll(x0, U)
-    float(x0[0, 0])
-    elapsed = (time.perf_counter() - t0) / iters
-    return batch * T / elapsed, elapsed
+    return chained_steps_per_sec(lambda x: roll(x, U), x0, batch * T, iters)
 
 
 def run(batch: int = 16384, T: int = 500, iters: int = 5, method: str = "rk4"):
@@ -90,15 +98,9 @@ def run(batch: int = 16384, T: int = 500, iters: int = 5, method: str = "rk4"):
         (x, lag_state), _ = jax.lax.scan(body, (x0, lag0), U)
         return x
 
-    # compile + warm up (readback forces completion; see run_pallas note)
-    float(rollout_final(x0, lag0, U)[0, 0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x0 = rollout_final(x0, lag0, U)  # chained: real data dependency
-    float(x0[0, 0])
-    elapsed = (time.perf_counter() - t0) / iters
-    steps_per_sec = batch * T / elapsed
-    return steps_per_sec, elapsed
+    return chained_steps_per_sec(
+        lambda x: rollout_final(x, lag0, U), x0, batch * T, iters
+    )
 
 
 def measure_vpu_fma_peak(rows: int = 512, iters: int = 32768,
@@ -147,14 +149,8 @@ def measure_vpu_fma_peak(rows: int = 512, iters: int = 32768,
         return y * (0.5 / jnp.mean(jnp.abs(y)))
 
     x = jnp.full((rows, 128), 0.5, jnp.float32)
-    float(f(x)[0, 0])  # warm (readback forces completion)
-    t0 = time.perf_counter()
-    y = x
-    for _ in range(calls):
-        y = f(y)
-    float(y[0, 0])
-    elapsed = (time.perf_counter() - t0) / calls
-    return 3.0 * rows * 128 * iters * streams / elapsed
+    return chained_steps_per_sec(f, x, 3 * rows * 128 * iters * streams,
+                                 calls)[0]
 
 
 def measure_vpu_transcendental_peak(rows: int = 512, iters: int = 8192,
@@ -197,14 +193,8 @@ def measure_vpu_transcendental_peak(rows: int = 512, iters: int = 8192,
         return y * (0.5 / jnp.mean(jnp.abs(y)))  # rescale so calls chain
 
     x = jnp.full((rows, 128), 0.5, jnp.float32)
-    float(f(x)[0, 0])  # warm (readback forces completion)
-    t0 = time.perf_counter()
-    y = x
-    for _ in range(calls):
-        y = f(y)
-    float(y[0, 0])
-    elapsed = (time.perf_counter() - t0) / calls
-    return rows * 128 * iters * streams / elapsed
+    return chained_steps_per_sec(f, x, rows * 128 * iters * streams,
+                                 calls)[0]
 
 
 def step_costs_per_trajectory(method: str = "rk4", batch: int = 1024):
@@ -231,11 +221,6 @@ def step_costs_per_trajectory(method: str = "rk4", batch: int = 1024):
         ca = ca[0]
     return (float(ca["flops"]) / batch,
             float(ca.get("transcendentals", 0.0)) / batch)
-
-
-def step_flops_per_trajectory(method: str = "rk4", batch: int = 1024):
-    """Back-compat shim; see :func:`step_costs_per_trajectory`."""
-    return step_costs_per_trajectory(method, batch)[0]
 
 
 def _pallas_kernel_step(method: str = "rk4"):
@@ -317,13 +302,9 @@ def run_soa(batch: int = 65536, T: int = 500, iters: int = 3,
         (x, lag_state), _ = jax.lax.scan(body, (x0, lag0), U)
         return x
 
-    float(rollout_final(x0, lag0, U)[0, 0])  # warm + force completion
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x0 = rollout_final(x0, lag0, U)  # chained: real data dependency
-    float(x0[0, 0])
-    elapsed = (time.perf_counter() - t0) / iters
-    return batch * T / elapsed, elapsed
+    return chained_steps_per_sec(
+        lambda x: rollout_final(x, lag0, U), x0, batch * T, iters
+    )
 
 
 def run_full():
@@ -390,8 +371,10 @@ def run_full():
     def sec_roofline():
         # Roofline data (all measured or machine-audited, no hand counts):
         # * chained-FMA and chained-sin microbenchmark peaks;
-        # * per-step costs of the exact in-kernel math (XLA cost model of
-        #   the rows computation) and its jaxpr-audited sin/cos count;
+        # * the FULL-PATH per-step cost (XLA cost model of the canonical
+        #   scan step — includes the per-trajectory thruster map, which
+        #   the shared-input kernel amortizes; labeled as such) and the
+        #   jaxpr-audited sin/cos count of the exact kernel step;
         # * the TRIG-ONLY bound: sin_peak / trig_per_step — an upper bound
         #   that models every non-trig op as FREE.  The rows-layout kernel
         #   reaches ~0.9 of even this bound; additive FMA+trig models
@@ -437,15 +420,9 @@ def run_full():
         x0 = 0.1 * jax.random.normal(k1, (B, 13), jnp.float32)
         x0 = x0.at[:, 3].add(1.0)  # near-identity quats
         TAU = 3.0 * jax.random.normal(k2, (T, 6), jnp.float32)
-        out = roll(x0, TAU)
-        float(out[0, 0])  # warm + completion
-        t0 = time.perf_counter()
-        x = x0
-        for _ in range(iters):
-            x = roll(x, TAU)  # chained
-        float(x[0, 0])
-        elapsed = (time.perf_counter() - t0) / iters
-        rows.append(("fossen_quat13_rk4_steps_per_sec", B * T / elapsed,
+        sps, _ = chained_steps_per_sec(lambda x: roll(x, TAU), x0,
+                                       B * T, iters)
+        rows.append(("fossen_quat13_rk4_steps_per_sec", sps,
                      "13state_rk4_steps/s", None))
 
     def sec_numerics_guard():

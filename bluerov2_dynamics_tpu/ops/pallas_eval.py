@@ -98,6 +98,58 @@ def _make_thruster_window_kernel(
     return kernel
 
 
+def make_window_eval_fn(kernel, n_state: int, n_in: int, H: int,
+                        block_b: int, scratch_shapes, interpret: bool):
+    """Shared sliding-window driver for the endpoint-evaluator kernels.
+
+    One implementation of the padding / pre-shifted-input / pallas_call
+    scaffolding for all state conventions (euler12 thruster, euler12
+    wrench, quat13 wrench — the kernel body and the shapes are the only
+    things that differ).  ``kernel`` has signature
+    ``(in_ref, x_ref, out_ref, *scratch)``; ``scratch_shapes`` is a
+    callable ``block_b -> [pltpu.VMEM shapes]``.
+
+    Returns ``fn(X, U) -> (N-H, n_state)`` endpoint states.
+    """
+
+    @jax.jit
+    def fn(X, U):
+        N = X.shape[0]
+        n_start = N - H
+        assert n_start > 0, f"horizon H={H} >= dataset length {N}"
+        n_pad = -(-n_start // block_b) * block_b
+        x0 = X[:n_start].T.astype(jnp.float32)        # (n_state, n_start)
+        if n_pad != n_start:
+            x0 = jnp.pad(x0, ((0, 0), (0, n_pad - n_start)))
+        ut = U.T.astype(jnp.float32)                   # (n_in, N)
+        if n_pad + H > U.shape[0]:
+            ut = jnp.pad(ut, ((0, 0), (0, n_pad + H - U.shape[0])))
+        # shifted input windows: U_shift[t] = inputs for inner step t of all
+        # starts — aligned blocks for the kernel's pipelined loads (Mosaic
+        # cannot issue lane-unaligned dynamic vector loads in-kernel)
+        u_shift = jnp.stack(
+            [jax.lax.dynamic_slice_in_dim(ut, t, n_pad, axis=1) for t in range(H)]
+        )  # (H, n_in, n_pad)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_state, n_pad), jnp.float32),
+            grid=(n_pad // block_b, H),
+            in_specs=[
+                pl.BlockSpec((1, n_in, block_b), lambda i, t: (t, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_state, block_b), lambda i, t: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n_state, block_b), lambda i, t: (0, i),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch_shapes(block_b),
+            interpret=interpret,
+        )(u_shift, x0)
+        return out[:, :n_start].T
+
+    return fn
+
+
 def make_endpoint_final_pallas(
     p: FossenParams,
     cfg: ThrusterConfig,
@@ -117,45 +169,12 @@ def make_endpoint_final_pallas(
     ``rmse(X[H:], final)`` for the metric.
     """
     kernel = _make_thruster_window_kernel(p, cfg, lag, dt, method, use_lag)
-
-    @jax.jit
-    def fn(X, U):
-        N = X.shape[0]
-        n_start = N - H
-        assert n_start > 0, f"horizon H={H} >= dataset length {N}"
-        n_pad = -(-n_start // block_b) * block_b
-        x0 = X[:n_start].T.astype(jnp.float32)        # (12, n_start)
-        if n_pad != n_start:
-            x0 = jnp.pad(x0, ((0, 0), (0, n_pad - n_start)))
-        ut = U.T.astype(jnp.float32)                   # (8, N)
-        if n_pad + H > U.shape[0]:
-            ut = jnp.pad(ut, ((0, 0), (0, n_pad + H - U.shape[0])))
-        # shifted input windows: U_shift[t] = inputs for inner step t of all
-        # starts — aligned blocks for the kernel's pipelined loads
-        u_shift = jnp.stack(
-            [jax.lax.dynamic_slice_in_dim(ut, t, n_pad, axis=1) for t in range(H)]
-        )  # (H, 8, n_pad)
-        out = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((12, n_pad), jnp.float32),
-            grid=(n_pad // block_b, H),
-            in_specs=[
-                pl.BlockSpec((1, 8, block_b), lambda i, t: (t, 0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((12, block_b), lambda i, t: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((12, block_b), lambda i, t: (0, i),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((12, block_b), jnp.float32),
-                pltpu.VMEM((3, 8, block_b), jnp.float32),
-            ],
-            interpret=interpret,
-        )(u_shift, x0)
-        return out[:, :n_start].T
-
-    return fn
+    return make_window_eval_fn(
+        kernel, n_state=12, n_in=8, H=H, block_b=block_b,
+        scratch_shapes=lambda b: [pltpu.VMEM((12, b), jnp.float32),
+                                  pltpu.VMEM((3, 8, b), jnp.float32)],
+        interpret=interpret,
+    )
 
 
 def make_endpoint_final_pallas_wrench(
@@ -195,39 +214,11 @@ def make_endpoint_final_pallas_wrench(
         def _():
             out_ref[:] = x_scr[:]
 
-    @jax.jit
-    def fn(X, TAU):
-        N = X.shape[0]
-        n_start = N - H
-        assert n_start > 0, f"horizon H={H} >= dataset length {N}"
-        n_pad = -(-n_start // block_b) * block_b
-        x0 = X[:n_start].T.astype(jnp.float32)
-        if n_pad != n_start:
-            x0 = jnp.pad(x0, ((0, 0), (0, n_pad - n_start)))
-        tt = TAU.T.astype(jnp.float32)     # (6, N)
-        if n_pad + H > TAU.shape[0]:
-            tt = jnp.pad(tt, ((0, 0), (0, n_pad + H - TAU.shape[0])))
-        tau_shift = jnp.stack(
-            [jax.lax.dynamic_slice_in_dim(tt, t, n_pad, axis=1) for t in range(H)]
-        )  # (H, 6, n_pad)
-        out = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((12, n_pad), jnp.float32),
-            grid=(n_pad // block_b, H),
-            in_specs=[
-                pl.BlockSpec((1, 6, block_b), lambda i, t: (t, 0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((12, block_b), lambda i, t: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((12, block_b), lambda i, t: (0, i),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((12, block_b), jnp.float32)],
-            interpret=interpret,
-        )(tau_shift, x0)
-        return out[:, :n_start].T
-
-    return fn
+    return make_window_eval_fn(
+        kernel, n_state=12, n_in=6, H=H, block_b=block_b,
+        scratch_shapes=lambda b: [pltpu.VMEM((12, b), jnp.float32)],
+        interpret=interpret,
+    )
 
 
 def endpoint_rmse_pallas(p, cfg, lag, X, U, dt, H, **kw):

@@ -180,39 +180,13 @@ def make_endpoint_final_pallas_quat(
         def _():
             out_ref[:] = x_scr[:]
 
-    @jax.jit
-    def fn(X, TAU):
-        N = X.shape[0]
-        n_start = N - H
-        assert n_start > 0, f"horizon H={H} >= dataset length {N}"
-        n_pad = -(-n_start // block_b) * block_b
-        x0 = X[:n_start].T.astype(jnp.float32)
-        if n_pad != n_start:
-            x0 = jnp.pad(x0, ((0, 0), (0, n_pad - n_start)))
-        tt = TAU.T.astype(jnp.float32)
-        if n_pad + H > TAU.shape[0]:
-            tt = jnp.pad(tt, ((0, 0), (0, n_pad + H - TAU.shape[0])))
-        tau_shift = jnp.stack(
-            [jax.lax.dynamic_slice_in_dim(tt, t, n_pad, axis=1) for t in range(H)]
-        )  # (H, 6, n_pad)
-        out = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((13, n_pad), jnp.float32),
-            grid=(n_pad // block_b, H),
-            in_specs=[
-                pl.BlockSpec((1, 6, block_b), lambda i, t: (t, 0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((13, block_b), lambda i, t: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((13, block_b), lambda i, t: (0, i),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((13, block_b), jnp.float32)],
-            interpret=interpret,
-        )(tau_shift, x0)
-        return out[:, :n_start].T
+    from bluerov2_dynamics_tpu.ops.pallas_eval import make_window_eval_fn
 
-    return fn
+    return make_window_eval_fn(
+        kernel, n_state=13, n_in=6, H=H, block_b=block_b,
+        scratch_shapes=lambda b: [pltpu.VMEM((13, b), jnp.float32)],
+        interpret=interpret,
+    )
 
 
 def make_rollout_final_pallas_quat(
@@ -251,7 +225,7 @@ def make_rollout_final_pallas_quat(
         assert B % block_b == 0, f"B={B} not divisible by block_b={block_b}"
         out = pl.pallas_call(
             kernel_factory(T),
-            out_shape=jax.ShapeDtypeStruct((13, B), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((13, B), x0.dtype),
             grid=(B // block_b,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # (T, 6) wrenches
@@ -261,7 +235,7 @@ def make_rollout_final_pallas_quat(
             out_specs=pl.BlockSpec((13, block_b), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(TAU.astype(jnp.float32), x0.T.astype(jnp.float32))
+        )(TAU.astype(x0.dtype), x0.T)
         return out.T
 
     return fn

@@ -171,18 +171,6 @@ def _rk4_rows(rhs, xs, tau, dt, method):
     )
 
 
-def _make_rhs_const(p: FossenParams):
-    """Stacked-array compatibility wrapper over :func:`_make_rhs_rows`:
-    ``x`` is a (12, B) tile, the return is a stacked (12, B) array.  Hot
-    kernels should use the rows form directly (see its docstring)."""
-    rhs_rows = _make_rhs_rows(p)
-
-    def rhs(x, tau):
-        return jnp.stack(rhs_rows(tuple(x[i] for i in range(12)), tau))
-
-    return rhs
-
-
 def make_rollout_final_pallas(
     p: FossenParams,
     cfg: ThrusterConfig,

@@ -2,8 +2,11 @@
 
 import subprocess
 import sys
+from pathlib import Path
 
 import bench
+
+REPO = Path(__file__).resolve().parent.parent
 
 
 def test_step_trig_count_matches_kernel_structure():
@@ -25,7 +28,10 @@ def test_bench_cli_rejects_bad_args():
     for bad in (["--batch", "0"], ["--t", "0"], ["--iters", "0"],
                 ["--batch", "100", "--block-b", "7"]):
         proc = subprocess.run(
-            [sys.executable, "bench.py", *bad],
-            capture_output=True, text=True, cwd=".",
+            [sys.executable, str(REPO / "bench.py"), *bad],
+            capture_output=True, text=True, cwd=str(REPO),
         )
         assert proc.returncode != 0, bad
+        # the argparse guard, not some unrelated startup failure
+        assert "must be" in proc.stderr or "must divide" in proc.stderr, (
+            bad, proc.stderr)
