@@ -332,12 +332,16 @@ def run_full():
     def section(name, fn):
         """Run one secondary-benchmark section; a failure (e.g. no Pallas
         on this platform) must never prevent the remaining sections or the
-        headline driver-contract line from being emitted."""
+        headline driver-contract line from being emitted.  A failed section
+        emits an ``<name>_error`` JSON row (value 1.0) so a consumer diffing
+        BENCH_r*.json can tell a crashed section from a never-run one."""
         try:
             fn()
         except Exception as e:  # pragma: no cover - platform fallback
             print(f"[warn] --full section '{name}' failed "
                   f"({type(e).__name__}: {e}); skipping", file=sys.stderr)
+            rows.append((f"{name}_error", 1.0,
+                         f"{type(e).__name__}: {e}"[:120], 0.0))
 
     def sec_koopman():
         model, t_fit = time_fn(

@@ -37,13 +37,10 @@ def sync(result):
     jax.block_until_ready(result)
     seen = set()
     for leaf in jax.tree.leaves(result):
-        if not (hasattr(leaf, "ravel") and getattr(leaf, "size", 0)):
-            continue
-        try:
-            devs = frozenset(leaf.devices())
-        except Exception:
-            devs = None  # non-jax array (numpy): no device to barrier
-        if devs is None or devs in seen:
+        if not (isinstance(leaf, jax.Array) and leaf.size):
+            continue  # numpy leaf (or empty): no device to barrier
+        devs = frozenset(leaf.devices())
+        if devs in seen:
             continue
         seen.add(devs)
         np.asarray(jax.device_get(leaf.ravel()[0]))

@@ -206,7 +206,7 @@ def init_params(
 
 
 def load_torch_checkpoint(path, hidden: Sequence[int] = (64, 64, 64, 64),
-                          dtype=jnp.float32):
+                          dtype=jnp.float32, allow_full_unpickle: bool = False):
     """Import a reference PINc ``state_dict`` checkpoint into flax params.
 
     The reference ships exactly one trained artifact —
@@ -224,16 +224,25 @@ def load_torch_checkpoint(path, hidden: Sequence[int] = (64, 64, 64, 64),
     ``ln_eps=1e-5`` (torch's LayerNorm epsilon).  Requires ``torch`` (CPU
     build is fine) to unpickle the checkpoint.
     """
+    import pickle
+
     import numpy as onp
     import torch
 
     try:
         sd = torch.load(str(path), map_location="cpu", weights_only=True)
-    except Exception:
-        # a full module was pickled (torch >= 2.6 refuses it under the
-        # weights_only default); fall back to a full unpickle — the
-        # checkpoint is a user-supplied local file, same trust model as
-        # the reference's own torch.load
+    except pickle.UnpicklingError:
+        # The safe weights-only load refuses anything that isn't a plain
+        # tensor state_dict (e.g. a fully pickled nn.Module).  Full
+        # unpickling executes arbitrary code from the file, so it needs an
+        # explicit opt-in; everything else (corrupt file, IO error) is
+        # re-raised as-is.
+        if not allow_full_unpickle:
+            raise ValueError(
+                f"{path} is not a weights-only checkpoint; pass "
+                "allow_full_unpickle=True to fully unpickle it (runs "
+                "arbitrary code from the file — only for trusted files)"
+            )
         sd = torch.load(str(path), map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()

@@ -417,7 +417,7 @@ def test_pinc_torch_import_forward_parity(rng):
 
     ref_mod = _ref_training_module()
     tnet = ref_mod.PINcNet(hidden_sizes=[64, 64, 64, 64])
-    tnet.load_state_dict(torch.load(PINC_PT, map_location="cpu"))
+    tnet.load_state_dict(torch.load(PINC_PT, map_location="cpu", weights_only=True))
     tnet.eval()
 
     net, params = pinc.load_torch_checkpoint(PINC_PT)
@@ -444,7 +444,7 @@ def test_pinc_torch_import_simulate_parity(rng):
 
     ref_mod = _ref_training_module()
     tnet = ref_mod.PINcNet(hidden_sizes=[64, 64, 64, 64])
-    tnet.load_state_dict(torch.load(PINC_PT, map_location="cpu"))
+    tnet.load_state_dict(torch.load(PINC_PT, map_location="cpu", weights_only=True))
     tnet.eval()
 
     dt = 0.02
