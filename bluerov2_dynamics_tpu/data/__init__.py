@@ -9,6 +9,7 @@ boundary between host and device (SURVEY.md §7).  Sub-modules:
 * :mod:`wrench` — effectiveness-matrix wrench augmentation of thruster CSVs.
 * :mod:`sanity` — kinematic-consistency dataset checks.
 * :mod:`t200` — T200 thrust-curve polynomial fitting from bench-test tables.
+* :mod:`xlsx` — dependency-free .xlsx sheet reader (stdlib zip + XML).
 * :mod:`bag2csv` — rosbag2 -> 50 Hz CSV ingestion (uses the optional
   ``rosbags`` package when present, otherwise the built-in sqlite3+CDR
   reader in :mod:`bag_sqlite`/:mod:`cdr`).

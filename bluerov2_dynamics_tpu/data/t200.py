@@ -5,8 +5,9 @@ separate forward/reverse 5th-order thrust-magnitude polynomials (Newtons,
 ascending-coefficient "gz plugin" format) from Blue Robotics public
 performance data (PWM in [1100, 1900] us normalized to u = (PWM-1500)/400).
 
-The xlsx reader is gated (``openpyxl`` optional); the fitting core takes
-plain arrays so it is testable without the spreadsheet.
+The workbook is read with the repo's own stdlib xlsx reader
+(``data/xlsx.py``) — no pandas/openpyxl dependency; the fitting core takes
+plain arrays so it is also testable without the spreadsheet.
 """
 
 from __future__ import annotations
@@ -75,21 +76,26 @@ def fit_from_xlsx(
     """Fit polynomials per supply-voltage sheet of the Blue Robotics xlsx.
 
     Returns ``{voltage: ThrustFit}``.  Sheet/column discovery follows the
-    reference's fuzzy matching (``T200_fit_polynomial.py:36-100``).
+    reference's fuzzy matching (``T200_fit_polynomial.py:36-100``); the
+    spreadsheet is read with the repo's dependency-free stdlib reader
+    (:mod:`bluerov2_dynamics_tpu.data.xlsx`) instead of
+    pandas+openpyxl.  Verified against the reference's logged
+    coefficients from the REAL workbook
+    (``training/best_results.txt:1025-1053``) in
+    ``tests/test_reference_parity.py``.
     """
-    import pandas as pd
-
+    from bluerov2_dynamics_tpu.data import xlsx
     from bluerov2_dynamics_tpu.utils.log import info, ok
 
-    xls = pd.ExcelFile(xlsx_path)
+    names = xlsx.sheet_names(xlsx_path)
     results = {}
     for V in voltages:
-        sheet = _find_sheet(xls.sheet_names, V)
-        df = pd.read_excel(xlsx_path, sheet_name=sheet).dropna(how="all")
-        pwm_col, thrust_col = _guess_columns(df)
+        sheet = _find_sheet(names, V)
+        header, rows = xlsx.read_sheet(xlsx_path, sheet)
+        pwm_col, thrust_col = _guess_columns(header)
         info(f"{V}V sheet={sheet!r} pwm_col={pwm_col!r} thrust_col={thrust_col!r}")
-        pwm = pd.to_numeric(df[pwm_col], errors="coerce").to_numpy(float)
-        kgf = pd.to_numeric(df[thrust_col], errors="coerce").to_numpy(float)
+        pwm = xlsx.numeric_column(header, rows, pwm_col)
+        kgf = xlsx.numeric_column(header, rows, thrust_col)
         m = np.isfinite(pwm) & np.isfinite(kgf) & (pwm >= MIN_PWM) & (pwm <= MAX_PWM)
         fit = fit_forward_reverse(pwm[m], kgf[m])
         ok(f"{V}V positiveThrustPolynomial = {list(fit.pos_coeff)}")
@@ -113,15 +119,16 @@ def _find_sheet(names, voltage: int) -> str:
     raise ValueError(f"Could not find a {v}V sheet. Available: {names}")
 
 
-def _guess_columns(df) -> Tuple[str, str]:
-    import pandas as pd  # noqa: F401
+def _guess_columns(columns) -> Tuple[str, str]:
+    """Guess (pwm_col, thrust_col) from a list of header strings
+    (``T200_fit_polynomial.py:57-99``)."""
 
     def norm(s: str) -> str:
         s = s.strip().lower().replace("µ", "u")
         s = s.replace("(", " ").replace(")", " ")
         return "".join(s.split())
 
-    cols = list(df.columns)
+    cols = list(columns)
     ncols = [norm(str(c)) for c in cols]
 
     def find(pred):
@@ -145,6 +152,8 @@ def _guess_columns(df) -> Tuple[str, str]:
 
 
 def _plot_fit(fit: ThrustFit, pwm, kgf, voltage: int, plot_dir):
+    """Measured-vs-fit figure in the reference's forward/reverse split
+    style (``T200_fit_polynomial.py:207-253``)."""
     from pathlib import Path
 
     import matplotlib
@@ -152,17 +161,47 @@ def _plot_fit(fit: ThrustFit, pwm, kgf, voltage: int, plot_dir):
     import matplotlib.pyplot as plt
 
     grid = np.linspace(MIN_PWM, MAX_PWM, 801)
-    y_kgf = eval_piecewise(fit, pwm_to_u(grid)) / G0
+    u_grid = pwm_to_u(grid)
+    y_kgf = eval_piecewise(fit, u_grid) / G0
+    fwd, rev = u_grid >= 0, u_grid < 0
+    m_fwd = np.asarray(pwm) >= MID_PWM
     fig, ax = plt.subplots()
-    ax.scatter(pwm, kgf, s=18, label="measured")
-    ax.plot(grid, y_kgf, lw=2, color="C2", label="fit")
+    ax.scatter(pwm[m_fwd], kgf[m_fwd], s=18, color="#0b3d91",
+               label="Measured (forward)")
+    ax.scatter(pwm[~m_fwd], kgf[~m_fwd], s=18, color="#7fb3ff",
+               label="Measured (reverse)")
+    ax.plot(grid[fwd], y_kgf[fwd], lw=2, color="#1b7f1b",
+            label="Fitted (forward)")
+    ax.plot(grid[rev], y_kgf[rev], lw=2, color="#6fdc6f",
+            label="Fitted (reverse)")
+    ax.set_xlim(MIN_PWM, MAX_PWM)
     ax.set_xlabel("PWM (µs)")
     ax.set_ylabel("Thrust (kgf)")
-    ax.set_title(f"T200 thrust fit @ {voltage}V")
+    ax.set_title(f"T200 Thrust Fit @ {voltage}V "
+                 f"(fit domain: PWM {int(MIN_PWM)}–{int(MAX_PWM)})")
     ax.grid(True)
     ax.legend()
+    fig.tight_layout()
     out = Path(plot_dir) / f"T200_{voltage}V_thrust_polynomial_fit.png"
     out.parent.mkdir(parents=True, exist_ok=True)
     fig.savefig(out, dpi=200)
     plt.close(fig)
     return out
+
+
+def main(argv=None) -> None:
+    """CLI mirror of the reference script (``T200_fit_polynomial.py:159``):
+    fit all three voltage sheets and write the fit figures."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("xlsx", help="Blue Robotics T200 performance .xlsx")
+    ap.add_argument("--voltages", type=int, nargs="+", default=[16, 18, 20])
+    ap.add_argument("--plot-dir", default=None,
+                    help="write T200_{V}V_thrust_polynomial_fit.png here")
+    args = ap.parse_args(argv)
+    fit_from_xlsx(args.xlsx, tuple(args.voltages), plot_dir=args.plot_dir)
+
+
+if __name__ == "__main__":
+    main()

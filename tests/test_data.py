@@ -253,3 +253,78 @@ def test_t200_fit_recovers_polynomial(rng):
     np.testing.assert_allclose(fit.neg_coeff, true_neg, atol=1e-6)
     # piecewise evaluation matches
     np.testing.assert_allclose(t200.eval_piecewise(fit, u), thrust_N, atol=1e-6)
+
+
+def _write_min_xlsx(path):
+    """Hand-build a minimal .xlsx exercising shared strings, inline
+    strings, skipped cells, booleans, and non-numeric coercion."""
+    import zipfile
+
+    wb = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+        ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Data 1" sheetId="1" r:id="rId1"/>'
+        '<sheet name="16 V" sheetId="2" r:id="rId2"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="x/worksheet" Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="x/worksheet" Target="worksheets/sheet2.xml"/>'
+        '</Relationships>'
+    )
+    sst = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<si><t xml:space="preserve"> PWM (µs)</t></si>'
+        '<si><r><t>Force </t></r><r><t>(Kg f)</t></r></si>'
+        '<si><t>n/a</t></si></sst>'
+    )
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sheet1 = f'<?xml version="1.0"?><worksheet {ns}><sheetData/></worksheet>'
+    sheet2 = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="inlineStr"><is><t>Flag</t></is></c></row>'
+        # full numeric row (with a formula cell: <f> then cached <v>)
+        '<row r="2"><c r="A2"><v>1100</v></c>'
+        '<c r="B2"><f>A2*2</f><v>-4.25</v></c><c r="C2" t="b"><v>1</v></c></row>'
+        # fully-empty row: must be dropped
+        '<row r="3"><c r="A3"/><c r="B3"/></row>'
+        # sparse row: B missing entirely, A non-numeric shared string
+        '<row r="4"><c r="A4" t="s"><v>2</v></c><c r="C4" t="b"><v>0</v></c></row>'
+        '<row r="5"><c r="A5"><v>1900</v></c><c r="B5"><v>5.5</v></c></row>'
+        '</sheetData></worksheet>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet1)
+        z.writestr("xl/worksheets/sheet2.xml", sheet2)
+
+
+def test_xlsx_reader_minimal_workbook(tmp_path):
+    from bluerov2_dynamics_tpu.data import xlsx
+
+    path = tmp_path / "mini.xlsx"
+    _write_min_xlsx(path)
+
+    assert xlsx.sheet_names(path) == ["Data 1", "16 V"]
+    header, rows = xlsx.read_sheet(path, "16 V")
+    assert header == [" PWM (µs)", "Force (Kg f)", "Flag"]
+    assert len(rows) == 3  # empty row dropped
+    assert rows[0] == [1100.0, -4.25, True]
+    assert rows[1] == ["n/a", None, False]
+    assert rows[2] == [1900.0, 5.5, None]
+
+    pwm = xlsx.numeric_column(header, rows, " PWM (µs)")
+    np.testing.assert_allclose(pwm, [1100.0, np.nan, 1900.0], equal_nan=True)
+    force = xlsx.numeric_column(header, rows, "Force (Kg f)")
+    np.testing.assert_allclose(force, [-4.25, np.nan, 5.5], equal_nan=True)
+
+    hdr_empty, rows_empty = xlsx.read_sheet(path, "Data 1")
+    assert hdr_empty == [] and rows_empty == []
+    with pytest.raises(KeyError):
+        xlsx.read_sheet(path, "nope")

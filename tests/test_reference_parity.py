@@ -374,6 +374,67 @@ def test_t200_fit_parity(rng):
     np.testing.assert_allclose(got.neg_coeff, want.neg_coeff, atol=1e-8)
 
 
+T200_XLSX = REF / "rosbags" / "T200" / (
+    "T200-Public-Performance-Data-10-20V-September-2019.xlsx")
+
+# The reference's own fitted coefficients on the REAL workbook, as logged
+# in training/best_results.txt:1025-1053 ([a0..a5], Newtons, plugin format).
+T200_LOGGED = {
+    16: ([1.56126574e-02, -9.35153055e+00, 2.08830810e+02, -4.15509637e+02,
+          4.44776674e+02, -1.76771528e+02],
+         [1.59248426e-03, -6.81757549e+00, 1.66237012e+02, -3.43638683e+02,
+          3.80069467e+02, -1.55688898e+02]),
+    18: ([6.11750784e-02, -1.04874827e+01, 2.33708779e+02, -5.09567410e+02,
+          5.83718240e+02, -2.37921148e+02],
+         [2.84439112e-04, -6.91792134e+00, 1.85083311e+02, -4.03797031e+02,
+          4.62767807e+02, -1.91889602e+02]),
+    20: ([-2.20545111e-01, 2.37936891e+00, 1.49248519e+02, -3.27398031e+02,
+          4.36609803e+02, -1.94364029e+02],
+         [-1.25983096e-01, 3.42623942e-01, 1.34413692e+02, -2.84606487e+02,
+          3.51715475e+02, -1.52174269e+02]),
+}
+
+
+@pytest.mark.skipif(not T200_XLSX.exists(), reason="T200 xlsx not present")
+def test_t200_real_xlsx_matches_logged_coefficients():
+    """End-to-end fit of the checkout's only REAL measured-data file (the
+    Blue Robotics T200 workbook) through the stdlib xlsx reader reproduces
+    the reference's logged coefficients for all six polynomials across the
+    16/18/20 V sheets (``training/best_results.txt:1025-1053``) to the
+    log's print precision."""
+    from bluerov2_dynamics_tpu.data import t200
+
+    fits = t200.fit_from_xlsx(T200_XLSX)
+    assert sorted(fits) == [16, 18, 20]
+    for V, (pos, neg) in T200_LOGGED.items():
+        np.testing.assert_allclose(fits[V].pos_coeff, pos, rtol=1e-6)
+        np.testing.assert_allclose(fits[V].neg_coeff, neg, rtol=1e-6)
+    # spot physical sanity: ~52 N max forward thrust at 16 V
+    f_max = t200.eval_piecewise(fits[16], np.array([1.0]))[0]
+    assert 45.0 < f_max < 60.0
+
+
+@pytest.mark.skipif(not T200_XLSX.exists(), reason="T200 xlsx not present")
+def test_xlsx_reader_matches_reference_loader_on_real_workbook():
+    """The stdlib zip+XML sheet reader agrees with the reference's pandas
+    load (``T200_fit_polynomial.py:168-190``) cell-for-cell on the numeric
+    columns actually consumed (201 rows per voltage sheet)."""
+    pd = pytest.importorskip("pandas")
+    try:
+        ref_df = pd.read_excel(T200_XLSX, sheet_name="16 V")
+    except ImportError:
+        pytest.skip("pandas lacks an xlsx engine (openpyxl not installed)")
+    from bluerov2_dynamics_tpu.data import xlsx
+
+    header, rows = xlsx.read_sheet(T200_XLSX, "16 V")
+    assert header == [str(c) for c in ref_df.columns]
+    assert len(rows) == len(ref_df.dropna(how="all"))
+    for col in header:
+        want = pd.to_numeric(ref_df[col], errors="coerce").to_numpy(float)
+        got = xlsx.numeric_column(header, rows, col)
+        np.testing.assert_allclose(got, want, rtol=0, atol=0, equal_nan=True)
+
+
 def test_legacy_static_thrust_curve_parity(rng):
     """static_thrust == the reference's lag-free legacy curve
     ``_old_thruster_force_from_input`` (``fossen/BlueROV2.py:234-243``) on a
