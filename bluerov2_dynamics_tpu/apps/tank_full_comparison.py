@@ -39,6 +39,9 @@ def main(argv=None):
     ap.add_argument("--pinc-lr-schedule", choices=["const", "cosine"],
                     default="const",
                     help="PINc learning-rate schedule (cosine = improvement)")
+    ap.add_argument("--pinc-dp", type=int, default=1, metavar="N",
+                    help="data-parallel PINc training over a mesh of the "
+                         "first N local devices (1 = single-device)")
     ap.add_argument("--pinc-psi-ssa", action="store_true",
                     help="also report PINc RMSE with the yaw error wrapped to "
                          "the smallest signed angle (the reference scores raw "
@@ -150,8 +153,20 @@ def main(argv=None):
             lr_schedule=args.pinc_lr_schedule,
         )
 
+        mesh = None
+        if args.pinc_dp > 1:
+            from jax.sharding import Mesh
+
+            devs = jax.devices()
+            if len(devs) < args.pinc_dp:
+                raise SystemExit(f"--pinc-dp {args.pinc_dp}: only "
+                                 f"{len(devs)} devices available")
+            mesh = Mesh(_np.array(devs[:args.pinc_dp]), ("data",))
+            info(f"PINc DP training over {args.pinc_dp} devices")
+
         def train_pinc():
-            return pinc.train(jax.random.PRNGKey(args.seed + 1), data, tc, hidden)
+            return pinc.train(jax.random.PRNGKey(args.seed + 1), data, tc,
+                              hidden, mesh=mesh)
 
         (net, params, _hist), t_pinc = time_fn(train_pinc, warmup=0)
         save_pytree(ckpt, {

@@ -392,14 +392,49 @@ def train(
     hidden: Sequence[int] = (64, 64, 64, 64),
     rp: ReducedParams | None = None,
     log_every: int = 0,
+    mesh=None,
 ):
     """Train PINc; returns ``(net, params, loss_history)``.
 
     The whole epoch (shuffle, minibatch scan, rollout windows) runs inside
     one jitted function; the Python loop is only over epochs.
+
+    ``mesh`` (a ``jax.sharding.Mesh``) enables data-parallel training:
+    params/optimizer state are replicated and every minibatch (and the
+    rollout windows, when divisible) is sharded over the mesh's first
+    axis inside the jitted epoch — XLA's GSPMD partitioner inserts the
+    gradient all-reduce.  The loss trajectory is bit-compatible with the
+    single-device run up to f32 reduction-order effects (asserted on an
+    8-device CPU mesh in ``tests/test_pinc.py``).  The reference trains
+    strictly single-process torch-CPU
+    (``train_tank_brov2_full_comparison.py:790-835``).
     """
     if rp is None:
         rp = reduced_params(dtype=data.z.dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = mesh.axis_names[0]
+        n_dev = mesh.shape[axis]  # batch shards over the FIRST mesh axis
+        if tc.batch % n_dev:
+            raise ValueError(
+                f"tc.batch={tc.batch} must divide over the {n_dev}-way "
+                f"{axis!r} mesh axis")
+
+        def shard_batch(t):
+            # shard the leading (batch/window) axis when divisible,
+            # otherwise leave the layout to the partitioner
+            if t.shape[0] % n_dev:
+                return t
+            spec = PartitionSpec(axis, *([None] * (t.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                t, NamedSharding(mesh, spec))
+
+        replicate = lambda t: jax.device_put(
+            t, NamedSharding(mesh, PartitionSpec()))
+    else:
+        shard_batch = lambda t: t
+        replicate = lambda t: t
     key, init_key = jax.random.split(key)
     if tc.normalize:
         mu, sigma = input_stats(data.z)
@@ -413,6 +448,8 @@ def train(
     n_batches = max(N // tc.batch, 1)
     opt = make_optimizer(tc, total_steps=tc.epochs * n_batches)
     opt_state = opt.init(params)
+    params, opt_state = replicate(params), replicate(opt_state)
+    data = PINcData(*(replicate(t) for t in data))
     use_rollout = tc.rollout_weight > 0 and tc.rollout_steps > 0 and N > tc.rollout_steps + 1
 
     def loss_fn(params, z_b, y_b, u4_b, z_win):
@@ -442,9 +479,13 @@ def train(
         def step(carry, inputs):
             params, opt_state = carry
             idx, widx = inputs
-            z_win = data.z[widx]  # (W, S+1, 14)
+            z_win = shard_batch(data.z[widx])  # (W, S+1, 14)
             loss, grads = jax.value_and_grad(loss_fn)(
-                params, data.z[idx], data.y[idx], data.u4[idx], z_win
+                params,
+                shard_batch(data.z[idx]),
+                shard_batch(data.y[idx]),
+                shard_batch(data.u4[idx]),
+                z_win,
             )
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)

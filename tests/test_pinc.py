@@ -1,5 +1,6 @@
 """PINc tests: conversions, wrench mapping, network invariants, training."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -203,3 +204,46 @@ def test_pinc_cosine_schedule_trains(rng):
     assert np.isfinite(hist_cos).all()
     assert hist_cos[-1] < 0.05 * hist_cos[0]          # converges
     assert hist_cos[-1] < 3.0 * hist_const[-1]        # competitive
+
+
+def test_pinc_train_mesh_dp_matches_single_device(rng):
+    """DP training over an 8-device mesh reproduces the single-device loss
+    trajectory with the same key (params replicated, batch sharded; the
+    only difference is f32 gradient reduction order)."""
+    from jax.sharding import Mesh
+
+    X9, U4 = _synthetic_reduced_data(rng)
+    dt = 0.05
+    X9 = jnp.asarray(X9, jnp.float32)
+    U4 = jnp.asarray(U4, jnp.float32)
+    z = jnp.concatenate([X9[:-1], U4[:-1], jnp.full((len(X9) - 1, 1), dt)], axis=1)
+    data = pinc.PINcData(z=z, y=X9[1:], u4=U4[:-1])
+    tc = pinc.TrainConfig(epochs=5, batch=128, lr=3e-3, rollout_steps=5,
+                          rollout_windows=8, physics_weight=0.5)
+
+    _, params_1, hist_1 = pinc.train(jax.random.PRNGKey(0), data, tc)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    net, params_8, hist_8 = pinc.train(jax.random.PRNGKey(0), data, tc,
+                                       mesh=mesh)
+
+    np.testing.assert_allclose(hist_8, hist_1, rtol=2e-4)
+    for l1, l8 in zip(jax.tree.leaves(params_1), jax.tree.leaves(params_8)):
+        np.testing.assert_allclose(np.asarray(l8), np.asarray(l1),
+                                   rtol=5e-3, atol=2e-5)
+    # the trained (sharded-run) params still work in plain inference
+    step = pinc.make_step(net, params_8, dt)
+    assert np.all(np.isfinite(np.asarray(step(X9[:-1], U4[:-1]))))
+
+
+def test_pinc_train_mesh_rejects_indivisible_batch(rng):
+    from jax.sharding import Mesh
+
+    X9, U4 = _synthetic_reduced_data(rng)
+    z = jnp.concatenate([X9[:-1], U4[:-1], jnp.full((len(X9) - 1, 1), 0.05)],
+                        axis=1).astype(jnp.float32)
+    data = pinc.PINcData(z=z, y=jnp.asarray(X9[1:], jnp.float32),
+                         u4=jnp.asarray(U4[:-1], jnp.float32))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    with pytest.raises(ValueError, match="mesh"):
+        pinc.train(jax.random.PRNGKey(0), data,
+                   pinc.TrainConfig(epochs=1, batch=100), mesh=mesh)
