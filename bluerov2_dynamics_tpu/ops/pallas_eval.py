@@ -195,6 +195,18 @@ def make_endpoint_final_pallas_wrench(
     returns the ``(N-H, 12)`` endpoint states.  RK4 stages run on the
     row representation (see :func:`_make_thruster_window_kernel`).
     """
+    kernel = _make_wrench_window_kernel(p, dt, method)
+    return make_window_eval_fn(
+        kernel, n_state=12, n_in=6, H=H, block_b=block_b,
+        scratch_shapes=lambda b: [pltpu.VMEM((12, b), jnp.float32)],
+        interpret=interpret,
+    )
+
+
+def _make_wrench_window_kernel(p: FossenParams, dt: float, method: str):
+    """Sliding-window kernel body for the wrench-input euler12 model
+    (shared by the single-device evaluator above and the shard_map
+    composition in ``parallel/sharded.py``)."""
     rhs = _make_rhs_rows(p)
 
     def kernel(tau_ref, x_ref, out_ref, x_scr):
@@ -214,11 +226,7 @@ def make_endpoint_final_pallas_wrench(
         def _():
             out_ref[:] = x_scr[:]
 
-    return make_window_eval_fn(
-        kernel, n_state=12, n_in=6, H=H, block_b=block_b,
-        scratch_shapes=lambda b: [pltpu.VMEM((12, b), jnp.float32)],
-        interpret=interpret,
-    )
+    return kernel
 
 
 def endpoint_rmse_pallas(p, cfg, lag, X, U, dt, H, **kw):

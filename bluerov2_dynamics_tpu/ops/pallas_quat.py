@@ -161,6 +161,21 @@ def make_endpoint_final_pallas_quat(
     VMEM structure as the euler evaluators (grid (blocks, H), state in
     scratch persisting over the time dimension, pre-shifted inputs).
     """
+    from bluerov2_dynamics_tpu.ops.pallas_eval import make_window_eval_fn
+
+    kernel = _make_quat_window_kernel(p, dt, method, renormalize)
+    return make_window_eval_fn(
+        kernel, n_state=13, n_in=6, H=H, block_b=block_b,
+        scratch_shapes=lambda b: [pltpu.VMEM((13, b), jnp.float32)],
+        interpret=interpret,
+    )
+
+
+def _make_quat_window_kernel(p: FossenParams, dt: float, method: str,
+                             renormalize: bool):
+    """Sliding-window kernel body for the quat13 wrench model (shared by
+    the single-device evaluator above and the shard_map composition in
+    ``parallel/sharded.py``)."""
     rhs = _make_rhs_quat_rows(p)
 
     def kernel(tau_ref, x_ref, out_ref, x_scr):
@@ -180,13 +195,7 @@ def make_endpoint_final_pallas_quat(
         def _():
             out_ref[:] = x_scr[:]
 
-    from bluerov2_dynamics_tpu.ops.pallas_eval import make_window_eval_fn
-
-    return make_window_eval_fn(
-        kernel, n_state=13, n_in=6, H=H, block_b=block_b,
-        scratch_shapes=lambda b: [pltpu.VMEM((13, b), jnp.float32)],
-        interpret=interpret,
-    )
+    return kernel
 
 
 def make_rollout_final_pallas_quat(

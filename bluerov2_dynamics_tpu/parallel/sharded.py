@@ -110,40 +110,31 @@ def shardmap_endpoint_rmse(mesh: Mesh, step: Callable, X, U, H: int,
     return jnp.sqrt(sq_total / (n_start * n))
 
 
-def shardmap_endpoint_rmse_pallas(
+def _shardmap_window_rmse(
     mesh: Mesh,
-    p,
-    cfg,
-    lag,
+    kernel,
+    n_state: int,
+    n_in: int,
+    scratch_shapes,
     X,
     U,
-    dt: float,
     H: int,
-    method: str = "rk4",
-    block_b: int = 512,
-    interpret: bool = False,
-    use_lag: bool = True,
-    data_axis: str = "data",
+    block_b: int,
+    interpret: bool,
+    data_axis: str,
 ):
-    """Endpoint H-step RMSE with the Pallas VMEM evaluator as the per-shard
-    body — the fastest single-chip path composed with ``shard_map``.
+    """Shared shard_map composition for ALL sliding-window VMEM evaluator
+    kernels (thruster-euler12, wrench-euler12, quat13 — the kernel body,
+    state width, and scratch are the only differences, mirroring
+    ``pallas_eval.make_window_eval_fn`` on the single-device side).
 
-    Each device runs the sliding-window VMEM kernel
-    (:func:`bluerov2_dynamics_tpu.ops.pallas_eval.make_endpoint_final_pallas`'s
-    kernel) on its contiguous block of rollout starts, slicing its shifted
-    input windows out of the replicated command trajectory at its mesh
-    offset; the squared-error partial sums are ``psum``'d over ICI.  Same
-    semantics as :func:`shardmap_endpoint_rmse`, same divisibility
-    requirement ``(N - H) % n_dev == 0``.
-
-    ``interpret=True`` runs the kernel in Pallas interpret mode (CPU
-    meshes / the driver dry run); on TPU hardware leave it False.
+    Each device runs the kernel on its contiguous block of rollout starts,
+    slicing its shifted input windows out of the replicated input
+    trajectory at its mesh offset; squared-error partial sums are
+    ``psum``'d over ICI.  Divisibility requirement
+    ``(N - H) % mesh.shape[data_axis] == 0``.
     """
     from jax import shard_map
-
-    from bluerov2_dynamics_tpu.ops.pallas_eval import (
-        _make_thruster_window_kernel,
-    )
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -155,11 +146,10 @@ def shardmap_endpoint_rmse_pallas(
     m = n_start // n_dev
     bb = min(block_b, m)
     m_pad = -(-m // bb) * bb
-    kernel = _make_thruster_window_kernel(p, cfg, lag, dt, method, use_lag)
 
     x0 = X[:n_start].astype(jnp.float32)
     target = X[H:].astype(jnp.float32)
-    ut = U.T.astype(jnp.float32)  # (8, N)
+    ut = U.T.astype(jnp.float32)  # (n_in, N)
     # the last shard's widest input slice ends at (n_dev-1)*m + H-1 + m_pad
     need = (n_dev - 1) * m + H - 1 + m_pad
     if need > ut.shape[1]:
@@ -167,31 +157,28 @@ def shardmap_endpoint_rmse_pallas(
 
     def per_shard(x0_local, target_local, ut_full):
         offset = jax.lax.axis_index(data_axis).astype(jnp.int32) * m
-        x0t = x0_local.T  # (12, m)
+        x0t = x0_local.T  # (n_state, m)
         if m_pad != m:
             x0t = jnp.pad(x0t, ((0, 0), (0, m_pad - m)))
         zero = jnp.int32(0)
         u_shift = jnp.stack([
             jax.lax.dynamic_slice(ut_full, (zero, offset + jnp.int32(t)),
-                                  (8, m_pad))
+                                  (n_in, m_pad))
             for t in range(H)
-        ])  # (H, 8, m_pad)
+        ])  # (H, n_in, m_pad)
         out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((12, m_pad), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n_state, m_pad), jnp.float32),
             grid=(m_pad // bb, H),
             in_specs=[
-                pl.BlockSpec((1, 8, bb), lambda i, t: (t, 0, i),
+                pl.BlockSpec((1, n_in, bb), lambda i, t: (t, 0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((12, bb), lambda i, t: (0, i),
+                pl.BlockSpec((n_state, bb), lambda i, t: (0, i),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((12, bb), lambda i, t: (0, i),
+            out_specs=pl.BlockSpec((n_state, bb), lambda i, t: (0, i),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((12, bb), jnp.float32),
-                pltpu.VMEM((3, 8, bb), jnp.float32),
-            ],
+            scratch_shapes=scratch_shapes(bb),
             interpret=interpret,
         )(u_shift, x0t)
         final = out[:, :m].T
@@ -209,6 +196,102 @@ def shardmap_endpoint_rmse_pallas(
     )
     sq_total = fn(x0, target, ut)
     return jnp.sqrt(sq_total / (n_start * n))
+
+
+def shardmap_endpoint_rmse_pallas(
+    mesh: Mesh,
+    p,
+    cfg,
+    lag,
+    X,
+    U,
+    dt: float,
+    H: int,
+    method: str = "rk4",
+    block_b: int = 512,
+    interpret: bool = False,
+    use_lag: bool = True,
+    data_axis: str = "data",
+):
+    """Endpoint H-step RMSE with the thruster-input Pallas VMEM evaluator
+    as the per-shard body — the fastest single-chip path composed with
+    ``shard_map``.  Same semantics as :func:`shardmap_endpoint_rmse`.
+
+    ``interpret=True`` runs the kernel in Pallas interpret mode (CPU
+    meshes / the driver dry run); on TPU hardware leave it False.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bluerov2_dynamics_tpu.ops.pallas_eval import (
+        _make_thruster_window_kernel,
+    )
+
+    kernel = _make_thruster_window_kernel(p, cfg, lag, dt, method, use_lag)
+    return _shardmap_window_rmse(
+        mesh, kernel, 12, 8,
+        lambda b: [pltpu.VMEM((12, b), jnp.float32),
+                   pltpu.VMEM((3, 8, b), jnp.float32)],
+        X, U, H, block_b, interpret, data_axis,
+    )
+
+
+def shardmap_endpoint_rmse_pallas_wrench(
+    mesh: Mesh,
+    p,
+    X,
+    TAU,
+    dt: float,
+    H: int,
+    method: str = "rk4",
+    block_b: int = 512,
+    interpret: bool = False,
+    data_axis: str = "data",
+):
+    """Sharded endpoint RMSE for the WRENCH-input euler12 model (the T3
+    physics baseline, ``fossen/BlueROV2_thrust.py:235-282``): the
+    ``make_endpoint_final_pallas_wrench`` kernel under ``shard_map``.
+    ``X``: ``(N, 12)``; ``TAU``: ``(N, 6)`` recorded body wrenches.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bluerov2_dynamics_tpu.ops.pallas_eval import _make_wrench_window_kernel
+
+    kernel = _make_wrench_window_kernel(p, dt, method)
+    return _shardmap_window_rmse(
+        mesh, kernel, 12, 6,
+        lambda b: [pltpu.VMEM((12, b), jnp.float32)],
+        X, TAU, H, block_b, interpret, data_axis,
+    )
+
+
+def shardmap_endpoint_rmse_pallas_quat(
+    mesh: Mesh,
+    p,
+    X,
+    TAU,
+    dt: float,
+    H: int,
+    method: str = "euler",
+    block_b: int = 512,
+    interpret: bool = False,
+    renormalize: bool = True,
+    data_axis: str = "data",
+):
+    """Sharded endpoint RMSE for the QUATERNION-state wrench model (the T4
+    physics baseline, ``fossen/BlueROV2_wrench.py:141-367``): the
+    ``make_endpoint_final_pallas_quat`` kernel under ``shard_map``.
+    ``X``: ``(N, 13)``; ``TAU``: ``(N, 6)`` recorded body wrenches.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bluerov2_dynamics_tpu.ops.pallas_quat import _make_quat_window_kernel
+
+    kernel = _make_quat_window_kernel(p, dt, method, renormalize)
+    return _shardmap_window_rmse(
+        mesh, kernel, 13, 6,
+        lambda b: [pltpu.VMEM((13, b), jnp.float32)],
+        X, TAU, H, block_b, interpret, data_axis,
+    )
 
 
 def sharded_koopman_multistep_rmse(

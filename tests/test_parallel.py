@@ -267,3 +267,67 @@ def test_shardmap_endpoint_rmse_pallas_matches_single_device(rng, mesh):
         p, cfg, lag, X, U, dt, H, block_b=16, interpret=True
     ))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_shardmap_endpoint_rmse_pallas_wrench_matches_single_device(rng, mesh):
+    """The wrench-euler12 sliding-window kernel (T3 physics baseline) under
+    shard_map matches the single-device evaluator."""
+    from bluerov2_dynamics_tpu.eval.metrics import rmse
+    from bluerov2_dynamics_tpu.ops.pallas_eval import (
+        make_endpoint_final_pallas_wrench,
+    )
+    from bluerov2_dynamics_tpu.parallel.sharded import (
+        shardmap_endpoint_rmse_pallas_wrench,
+    )
+
+    dt, H = 0.02, 10
+    p = fossen_params(dtype=jnp.float32)
+    n_dev = mesh.shape["data"]
+    N = 40 * n_dev + H
+    TAU = jnp.asarray(rng.normal(size=(N, 6)) * 4.0, jnp.float32)
+    X = [jnp.asarray(rng.normal(size=12) * 0.2, jnp.float32)]
+    for t in range(N - 1):
+        X.append(X[-1] + dt * fossen.wrench_rhs_euler(p, X[-1], TAU[t]))
+    X = jnp.stack(X)
+
+    got = float(shardmap_endpoint_rmse_pallas_wrench(
+        mesh, p, X, TAU, dt, H, block_b=16, interpret=True
+    ))
+    fn = make_endpoint_final_pallas_wrench(p, dt, H, block_b=16,
+                                           interpret=True)
+    want = float(rmse(X[H:].astype(jnp.float32), fn(X, TAU)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_shardmap_endpoint_rmse_pallas_quat_matches_single_device(rng, mesh):
+    """The quat13 sliding-window kernel (T4 physics baseline) under
+    shard_map matches the single-device evaluator."""
+    from bluerov2_dynamics_tpu.eval.metrics import rmse
+    from bluerov2_dynamics_tpu.ops.pallas_quat import (
+        make_endpoint_final_pallas_quat,
+    )
+    from bluerov2_dynamics_tpu.parallel.sharded import (
+        shardmap_endpoint_rmse_pallas_quat,
+    )
+    from bluerov2_dynamics_tpu.ops import quaternion as quat
+
+    dt, H = 0.02, 10
+    p = fossen_params(dtype=jnp.float32)
+    n_dev = mesh.shape["data"]
+    N = 40 * n_dev + H
+    TAU = jnp.asarray(rng.normal(size=(N, 6)) * 4.0, jnp.float32)
+    x = jnp.zeros(13, jnp.float32).at[3].set(1.0)
+    X = [x]
+    for t in range(N - 1):
+        x = x + dt * fossen.wrench_rhs_quat(p, x, TAU[t])
+        x = x.at[3:7].set(quat.quat_normalize(x[3:7]))
+        X.append(x)
+    X = jnp.stack(X)
+
+    got = float(shardmap_endpoint_rmse_pallas_quat(
+        mesh, p, X, TAU, dt, H, block_b=16, interpret=True
+    ))
+    fn = make_endpoint_final_pallas_quat(p, dt, H, block_b=16,
+                                         interpret=True)
+    want = float(rmse(X[H:].astype(jnp.float32), fn(X, TAU)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
