@@ -197,6 +197,113 @@ def measure_vpu_transcendental_peak(rows: int = 512, iters: int = 8192,
                                  calls)[0]
 
 
+def measure_vpu_fma_tree_peak(rows: int = 128, iters: int = 8192,
+                              chains: int = 8, depth: int = 64,
+                              calls: int = 3):
+    """Max-ILP FMA peak: per loop iteration a wide tree of INDEPENDENT
+    Horner chains seeded by the iteration index (cannot be hoisted), with
+    a single accumulate as the only loop-carried dependency.
+
+    This is the ceiling shape for the quat13 kernel, whose RK4 step is a
+    wide independent expression DAG — unlike :func:`measure_vpu_fma_peak`,
+    whose serial per-stream recurrence (and VMEM-spilled accumulators at
+    the round-3 shape) understates the VPU by ~2.7x (measured round 4:
+    dependent-chain peak 1.09e12 vs 2.95e12 here; the real quat kernel's
+    achieved 1.9e12 jaxpr-flops/s exceeds the former).  Counted flops:
+    2 per chain step (FMA) + tree adds.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    flops_iter = chains * depth * 2 + chains
+
+    def kernel(x_ref, o_ref):
+        a = x_ref[:]
+
+        def body(i, acc):
+            v = a * (jnp.float32(1.0) + jnp.float32(1e-7) * i.astype(jnp.float32))
+            ts = []
+            for c in range(chains):
+                t = v
+                for d in range(depth):
+                    t = t * jnp.float32(0.99 + 0.0001 * c) + jnp.float32(
+                        1e-3 * (d + 1))
+                ts.append(t)
+            s = ts[0]
+            for t in ts[1:]:
+                s = s + t
+            return acc + s * jnp.float32(1e-6)
+
+        o_ref[:] = jax.lax.fori_loop(0, iters, body, x_ref[:])
+
+    @jax.jit
+    def f(x):
+        y = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(x)
+        return y * (0.5 / jnp.mean(jnp.abs(y)))  # rescale so calls chain
+
+    x = jnp.full((rows, 128), 0.5, jnp.float32)
+    return chained_steps_per_sec(f, x, flops_iter * rows * 128 * iters,
+                                 calls)[0]
+
+
+def quat_step_op_counts(method: str = "rk4"):
+    """Machine-audited per-trajectory op counts of ONE quat13 Pallas
+    kernel step (RK4 + per-stage and post-step normalize), from the jaxpr
+    of the exact row computation the kernel performs.
+
+    Returns a dict with ``flops`` (add+sub+mul — all vector ops on the
+    (B,) rows; scalar-only ops excluded), ``div``, ``sqrt``, ``cheap``
+    (abs/neg/select/compare at ~1 issue slot each), and ``slots``: the
+    minimum VPU issue slots under maximal mul+add FMA fusion
+    (muls + adds + subs − min(muls, adds+subs) + cheap).
+    """
+    from collections import Counter
+
+    from bluerov2_dynamics_tpu.models.params import fossen_params
+    from bluerov2_dynamics_tpu.ops.pallas_quat import (
+        _make_rhs_quat_rows,
+        _quat_step_rows,
+    )
+
+    rhs = _make_rhs_quat_rows(fossen_params())
+
+    def kernel_step(xs, tau):
+        return _quat_step_rows(rhs, xs, tau, 0.02, method, True)
+
+    jaxpr = jax.make_jaxpr(kernel_step)(
+        tuple(jnp.zeros((8,), jnp.float32) for _ in range(13)),
+        tuple(jnp.float32(0) for _ in range(6)),
+    )
+    c = Counter()
+
+    def count(jx):
+        for eqn in jx.eqns:
+            if getattr(eqn.outvars[0].aval, "shape", ()):  # vector ops only
+                c[eqn.primitive.name] += 1
+            if "jaxpr" in eqn.params:
+                inner = eqn.params["jaxpr"]
+                count(getattr(inner, "jaxpr", inner))
+            if "branches" in eqn.params:
+                for br in eqn.params["branches"]:
+                    count(getattr(br, "jaxpr", br))
+
+    count(jaxpr.jaxpr)
+    muls, adds = c["mul"], c["add"] + c["sub"]
+    cheap = c["abs"] + c["neg"] + c["select_n"] + c["lt"] + c["gt"] + c["max"]
+    return {
+        "flops": muls + adds,
+        "div": c["div"],
+        "sqrt": c["sqrt"] + c["rsqrt"],
+        "cheap": cheap,
+        "slots": muls + adds - min(muls, adds) + cheap,
+    }
+
+
 def step_costs_per_trajectory(method: str = "rk4", batch: int = 1024):
     """(FLOPs, transcendentals) of one full thruster-input Fossen step per
     trajectory, from XLA's own cost model of the compiled step (auditable,
@@ -408,9 +515,22 @@ def run_full():
                      "fraction_of_trig_only_upper_bound", None))
 
     def sec_quat_rollout():
-        # quat13 wrench-input VMEM rollout: trig-free kinematics, so not
-        # bounded by transcendental throughput like the euler12 kernel
-        # (hardware-verified: 1.86e9 steps/s, exact parity vs the scan)
+        # quat13 wrench-input VMEM rollout + its roofline accounting
+        # (round-4 anchor, VERDICT r3 item 2).  Trig-free kinematics, so
+        # the dominant resource is FMA-class vector work, not
+        # transcendentals.  Two ceilings are printed, loose to tight:
+        # * fma-only bound: tree-peak flops / jaxpr-audited flops-per-step
+        #   (ALL non-fma-class work free, perfect mul+add fusion);
+        # * issue-slot bound: tree-peak SLOTS (= flops/2: each slot is one
+        #   fused FMA) / audited min issue slots (fma-class after maximal
+        #   fusion + cheap vector ops; div/sqrt modeled free — they
+        #   overlap with FMA issue, measured: additive div models are
+        #   exceeded by the real kernel).
+        # block_b=2048 from the measured round-4 sweep (0.78/1.29/1.99/
+        # 2.18/1.88 e9 steps/s at 256/512/1024/2048/4096).  The per-stage
+        # quat normalize is NOT hoisted: the reference normalizes inside
+        # every RHS entry (BlueROV2_wrench.py:322-330) and parity tests
+        # pin that semantics.
         from bluerov2_dynamics_tpu.models.params import fossen_params
         from bluerov2_dynamics_tpu.ops.pallas_quat import (
             make_rollout_final_pallas_quat,
@@ -418,8 +538,7 @@ def run_full():
 
         B, T, iters = 65536, 500, 3
         p = fossen_params()
-        roll = make_rollout_final_pallas_quat(p, 0.02, method="rk4",
-                                              block_b=1024)
+        roll = make_rollout_final_pallas_quat(p, 0.02, method="rk4")
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
         x0 = 0.1 * jax.random.normal(k1, (B, 13), jnp.float32)
         x0 = x0.at[:, 3].add(1.0)  # near-identity quats
@@ -428,6 +547,27 @@ def run_full():
                                        B * T, iters)
         rows.append(("fossen_quat13_rk4_steps_per_sec", sps,
                      "13state_rk4_steps/s", None))
+        tree_peak = measure_vpu_fma_tree_peak()
+        rows.append(("vpu_fma_tree_peak", tree_peak,
+                     "flops/s (max-ILP independent-FMA ceiling)", None))
+        oc = quat_step_op_counts()
+        rows.append(("fossen_quat13_flops_per_step_jaxpr", oc["flops"],
+                     f"fma_class_flops (+{oc['div']} div, {oc['sqrt']} "
+                     f"sqrt, {oc['cheap']} cheap)", None))
+        rows.append(("fossen_quat13_achieved_flops_per_sec",
+                     sps * oc["flops"], "flops/s", None))
+        fma_bound = tree_peak / oc["flops"]
+        rows.append(("fossen_quat13_fma_only_bound_steps_per_sec",
+                     fma_bound, "13state_rk4_steps/s (all non-fma work "
+                     "free, perfect fusion)", None))
+        rows.append(("fossen_quat13_fraction_of_fma_only_bound",
+                     sps / fma_bound, "fraction", None))
+        slot_bound = (tree_peak / 2.0) / oc["slots"]
+        rows.append(("fossen_quat13_slot_bound_steps_per_sec", slot_bound,
+                     "13state_rk4_steps/s (min issue slots at fused-FMA "
+                     "slot rate)", None))
+        rows.append(("fossen_quat13_fraction_of_slot_bound",
+                     sps / slot_bound, "fraction", None))
 
     def sec_numerics_guard():
         # Round-2 bf16 Gram-cancellation regression guard, executed on the

@@ -202,14 +202,16 @@ def make_rollout_final_pallas_quat(
     p: FossenParams,
     dt: float,
     method: str = "rk4",
-    block_b: int = 1024,
+    block_b: int = 2048,
     interpret: bool = False,
     renormalize: bool = True,
 ):
     """Build ``fn(x0, TAU_seq) -> xT``: whole quat13 rollout in VMEM under
     a shared wrench sequence.  ``x0``: ``(B, 13)`` (B divisible by
     ``block_b``); ``TAU_seq``: ``(T, 6)``.  Trig-free — not bounded by
-    transcendental throughput like the euler12 kernel.
+    transcendental throughput like the euler12 kernel; the round-4
+    measured block sweep picked 2048 (2.18e9 steps/s vs 1.99e9 at 1024,
+    1.29e9 at 512 on v5e — see ``bench.py --full`` roofline rows).
     """
     rhs = _make_rhs_quat_rows(p)
 

@@ -35,3 +35,17 @@ def test_bench_cli_rejects_bad_args():
         # the argparse guard, not some unrelated startup failure
         assert "must be" in proc.stderr or "must divide" in proc.stderr, (
             bad, proc.stderr)
+
+
+def test_quat_step_op_counts_audit():
+    """The quat13 op audit returns machine-counted classes with the
+    expected structure (trig-free; 5 normalizes per RK4 step -> 5 div +
+    5 sqrt; slots <= flops; everything positive)."""
+    import bench
+
+    oc = bench.quat_step_op_counts()
+    assert set(oc) == {"flops", "div", "sqrt", "cheap", "slots"}
+    assert oc["div"] == 5 and oc["sqrt"] == 5  # 4 RHS + 1 post-step norm
+    assert 500 < oc["flops"] < 1500
+    assert 0 < oc["slots"] < oc["flops"]
+    # trig-free claim is auditable: no sin/cos in the counts by construction
