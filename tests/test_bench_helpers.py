@@ -49,3 +49,27 @@ def test_quat_step_op_counts_audit():
     assert 500 < oc["flops"] < 1500
     assert 0 < oc["slots"] < oc["flops"]
     # trig-free claim is auditable: no sin/cos in the counts by construction
+
+
+def test_time_fn_slope_cancels_constant_overhead():
+    """The slope method recovers per-call compute time with a constant
+    per-call overhead subtracted (simulated dispatch floor)."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from bluerov2_dynamics_tpu.eval.timing import time_fn_slope
+
+    calls = []
+
+    def fn(H):
+        calls.append(H)
+        _time.sleep(0.004)  # simulated per-call cost incl. "dispatch"
+        return jnp.float32(H)
+
+    val, cold, warm = time_fn_slope(fn, 7, k_lo=2, k_hi=6)
+    assert float(val) == 7.0
+    assert cold > 0
+    # slope ~ 4 ms/call; generous band for CI jitter
+    assert 0.002 < warm < 0.012
+    assert len(calls) == 1 + 2 + 2 + 6  # cold + settle + k_lo + k_hi
