@@ -414,9 +414,10 @@ def run_soa(batch: int = 65536, T: int = 500, iters: int = 3,
     )
 
 
-def run_full():
+def run_full(only: str | None = None):
     """Secondary benchmarks (printed as extra JSON lines; opt-in via
-    --full, not consumed by the driver)."""
+    --full, not consumed by the driver).  ``only`` restricts to a single
+    named section (``--section``) for targeted re-blessing."""
     import jax.random as jr
 
     from bluerov2_dynamics_tpu.data.synthetic import generate_sim_dataset
@@ -431,9 +432,17 @@ def run_full():
     from bluerov2_dynamics_tpu.ops.pallas_eval import make_endpoint_final_pallas
 
     N, dt = 45823, 0.02
-    sim = generate_sim_dataset(jax.random.PRNGKey(0), n_steps=N, dt=dt)
-    X, U = sim.X, sim.U
     split = int(0.8 * N)
+    _data = {}
+
+    def dataset():
+        # generated lazily: host-only sections (--section ingest) must not
+        # touch the device at all
+        if "XU" not in _data:
+            sim = generate_sim_dataset(jax.random.PRNGKey(0), n_steps=N, dt=dt)
+            _data["XU"] = (sim.X, sim.U)
+        return _data["XU"]
+
     rows = []
 
     def section(name, fn):
@@ -442,6 +451,8 @@ def run_full():
         headline driver-contract line from being emitted.  A failed section
         emits an ``<name>_error`` JSON row (value 1.0) so a consumer diffing
         BENCH_r*.json can tell a crashed section from a never-run one."""
+        if only is not None and name != only:
+            return
         try:
             fn()
         except Exception as e:  # pragma: no cover - platform fallback
@@ -451,6 +462,7 @@ def run_full():
                          f"{type(e).__name__}: {e}"[:120], 0.0))
 
     def sec_koopman():
+        X, U = dataset()
         model, t_fit = time_fn(
             lambda: koopman.fit(jr.PRNGKey(0), X[:split], U[:split],
                                 n_rbfs=500, gamma=3.0, ridge=1e-1),
@@ -464,6 +476,7 @@ def run_full():
         rows.append(("koopman_h100_eval_seconds", t_k, "s", 41.2 / t_k))
 
     def sec_fossen_eval():
+        X, U = dataset()
         p, cfg, lag = fossen_params(), thruster_config(), lag_params(dt)
         fe = make_endpoint_final_pallas(p, cfg, lag, dt, 100, method="euler",
                                         block_b=1024)
@@ -600,6 +613,175 @@ def run_full():
                      "abs_err (healthy ~3e-3; inf/NaN = bf16 regression)",
                      None))
 
+    def sec_mxu():
+        # MXU measured-peak accounting for the two GEMM-bound surfaces
+        # (VERDICT r3 item 4): chained-matmul peaks, achieved flops of the
+        # Koopman Gram GEMM and the H=100 multistep eval as fractions of
+        # the HIGHEST-precision peak, and the propagation-precision A/B.
+        # Round-4 probe data (v5e): bf16-in default peak rises with size
+        # (4.2e13 @ n=1024 -> 1.26e14 @ n=8192, the serial chain hides
+        # less MXU drain at small n); HIGHEST (6-pass f32) peak 2.8e13.
+        # A/B on the pseudo recording: default-bf16 propagation is WRONG
+        # (rmse 0.2069 vs 0.1405), HIGH matches HIGHEST to 2.6e-4 rel for
+        # only an 11% speedup on this shape — decision: propagation stays
+        # HIGHEST (models/koopman.py:253-256; distance GEMMs unconditionally
+        # HIGHEST per the round-2 cancellation fix).
+        import jax.random as jr2
+
+        from bluerov2_dynamics_tpu.eval.timing import time_fn as _time_fn
+
+        def matmul_peak(n, k_iters, precision, bf16):
+            # spectral norm ~0.9 via Marchenko-Pastur scaling (top sv of
+            # G/sqrt(n) -> 2): QR-orthogonalising at n=8192 took minutes
+            # of chip time and blew the section budget; decay over
+            # k_iters is undone by the per-call renormalisation
+            W = (0.45 / jnp.sqrt(jnp.float32(n))) * jr2.normal(
+                jr2.PRNGKey(0), (n, n), jnp.float32)
+            if bf16:
+                W = W.astype(jnp.bfloat16)
+
+            # W is an ARGUMENT, not a closure constant: embedded constants
+            # of this size blow up the remote-compile payload on the
+            # tunneled platform (HTTP 413 at f32 n=8192)
+            @jax.jit
+            def f(x, W):
+                def body(i, x):
+                    with jax.default_matmul_precision(precision):
+                        return x @ W
+
+                y = jax.lax.fori_loop(0, k_iters, body, x)
+                y32 = y.astype(jnp.float32)
+                out = y32 * (1.0 / jnp.sqrt(jnp.mean(y32 * y32) + 1e-20))
+                return out.astype(W.dtype)
+
+            x = jr2.normal(jr2.PRNGKey(1), (n, n), jnp.float32).astype(W.dtype)
+            return chained_steps_per_sec(lambda x: f(x, W), x,
+                                         2.0 * n**3 * k_iters, 3)[0]
+
+        X, U = dataset()
+        bf16_peak = matmul_peak(8192, 4, "default", True)
+        rows.append(("mxu_bf16_measured_peak", bf16_peak,
+                     "flops/s (chained 8192^3 bf16 matmul)", None))
+        hi_peak = matmul_peak(4096, 16, "highest", False)
+        rows.append(("mxu_highest_measured_peak", hi_peak,
+                     "flops/s (chained 4096^3 6-pass-f32 matmul)", None))
+
+        model = koopman.fit(jr.PRNGKey(0), X[:split], U[:split],
+                            n_rbfs=500, gamma=3.0, ridge=1e-1)
+        jax.block_until_ready(model.A)
+
+        # Gram GEMM at the exact fit shapes (G^T G + G^T Y, HIGHEST)
+        Z = koopman.lift(model, X[:split - 1])
+        G = jnp.concatenate([Z, U[:split - 1]], axis=1)
+        Y = koopman.lift(model, X[1:split])
+
+        @jax.jit
+        def gram(G, Y):
+            with jax.default_matmul_precision("highest"):
+                return G.T @ G, G.T @ Y
+
+        _, t_gram = _time_fn(gram, G, Y, warmup=1, iters=5)
+        n_rows_g, d_g = G.shape
+        fl_gram = 2.0 * n_rows_g * d_g * d_g + 2.0 * n_rows_g * d_g * Y.shape[1]
+        rows.append(("koopman_gram_gemm_achieved_flops_per_sec",
+                     fl_gram / t_gram,
+                     f"flops/s ({n_rows_g}x{d_g} Gram, HIGHEST)", None))
+        rows.append(("koopman_gram_gemm_fraction_of_highest_peak",
+                     (fl_gram / t_gram) / hi_peak,
+                     "fraction (shape-limited: M=N=520 -> ~4x4 MXU tiles)",
+                     None))
+
+        # H=100 multistep eval achieved + propagation-precision A/B
+        Xe, Ue = X[split:], U[split:]
+        H = 100
+        n_start = Xe.shape[0] - H
+        d = model.A.shape[0]
+
+        def make_ms(precision):
+            @jax.jit
+            def ms(X_, U_):
+                Z = koopman.lift(model, X_[:n_start])
+                A_T, B_T = model.A.T, model.B.T
+
+                def body(Z, t):
+                    u_t = jax.lax.dynamic_slice_in_dim(U_, t, n_start, axis=0)
+                    with jax.default_matmul_precision(precision):
+                        return Z @ A_T + u_t @ B_T, None
+
+                Z, _ = jax.lax.scan(body, Z, jnp.arange(H))
+                return rmse(Xe[H:], koopman.decode(model, Z))
+
+            return ms
+
+        fl_ms = 2.0 * n_start * d * (d + Ue.shape[1]) * H
+        for prec in ("default", "high", "highest"):
+            val, t_ms = _time_fn(make_ms(prec), Xe, Ue, warmup=1, iters=5)
+            rows.append((f"koopman_h100_rmse_precision_{prec}", float(val),
+                         f"rmse (warm {t_ms * 1e3:.1f} ms, achieved "
+                         f"{fl_ms / t_ms:.3e} flops/s)", None))
+            if prec == "highest":
+                rows.append(("koopman_h100_eval_fraction_of_highest_peak",
+                             (fl_ms / t_ms) / hi_peak, "fraction", None))
+
+    def sec_ingest():
+        # Host-side ingestion throughput: the native C++ batch CDR decoder
+        # vs the per-message Python codec vs the schema-driven typesys
+        # generic decoder, on a synthesized ~100k-message bag worth of
+        # px4 VehicleOdometry blobs (the tank recordings' densest topic).
+        # This is the number that justifies native/cdr_decode.cpp ("the
+        # only real host-side hot loop", VERDICT r3 item 7).  The Python
+        # paths are timed on a 20k subset (rates are rates).
+        import numpy as onp
+
+        from bluerov2_dynamics_tpu.data import cdr, typesys
+
+        rng = onp.random.default_rng(0)
+        n = 100_000
+        n_py = 20_000
+        qs = rng.normal(size=(n, 4))
+        qs /= onp.linalg.norm(qs, axis=1, keepdims=True)
+        pos = rng.normal(size=(n, 3))
+        vel = rng.normal(size=(n, 3))
+        ang = rng.normal(size=(n, 3))
+        blobs = [
+            cdr.encode_vehicle_odometry(pos[i], qs[i], vel[i], ang[i],
+                                        timestamp=i)
+            for i in range(n)
+        ]
+
+        def best_of(fn, reps=3):
+            return min(
+                (lambda t0: (fn(), time.perf_counter() - t0))(
+                    time.perf_counter())[1]
+                for _ in range(reps)
+            )
+
+        try:
+            from bluerov2_dynamics_tpu.data import native_cdr
+
+            native_cdr.decode_vehicle_odometry_batch(blobs[:16])  # build
+            t_nat = best_of(
+                lambda: native_cdr.decode_vehicle_odometry_batch(blobs))
+            rows.append(("ingest_native_cdr_msgs_per_sec", n / t_nat,
+                         "msgs/s (C++ batch decoder, 100k VehicleOdometry)",
+                         None))
+        except Exception as e:  # pragma: no cover - no toolchain
+            print(f"[warn] native CDR unavailable ({e})", file=sys.stderr)
+            t_nat = None
+        t_py = best_of(
+            lambda: [cdr.decode_vehicle_odometry(b) for b in blobs[:n_py]])
+        rows.append(("ingest_python_cdr_msgs_per_sec", n_py / t_py,
+                     "msgs/s (per-message Python codec)", None))
+        ts = typesys.default_typestore()
+        t_gen = best_of(
+            lambda: [ts.decode("px4_msgs/msg/VehicleOdometry", b)
+                     for b in blobs[:n_py]])
+        rows.append(("ingest_typesys_generic_msgs_per_sec", n_py / t_gen,
+                     "msgs/s (schema-driven generic decoder)", None))
+        if t_nat is not None:
+            rows.append(("ingest_native_speedup_vs_python",
+                         (n / t_nat) / (n_py / t_py), "x", None))
+
     # roofline first: its kernel measurement must not inherit queued work
     # from the other sections (measured: +60% runtime when run last)
     section("roofline", sec_roofline)
@@ -607,7 +789,9 @@ def run_full():
     section("koopman", sec_koopman)
     section("fossen_eval", sec_fossen_eval)
     section("layouts", sec_layouts)
+    section("mxu", sec_mxu)
     section("numerics_guard", sec_numerics_guard)
+    section("ingest", sec_ingest)
 
     for metric, value, unit, vs in rows:
         print(json.dumps({"metric": metric, "value": value, "unit": unit,
@@ -620,6 +804,9 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--full", action="store_true",
                     help="also print the secondary benchmark JSON lines")
+    ap.add_argument("--section", default=None, metavar="NAME",
+                    help="run ONLY this --full section (targeted "
+                         "re-blessing; skips the headline line)")
     ap.add_argument("--batch", type=int, default=65536)
     ap.add_argument("--t", type=int, default=500, help="rollout length")
     ap.add_argument("--iters", type=int, default=3)
@@ -634,6 +821,9 @@ def main():
     if args.batch % args.block_b != 0:
         ap.error("--block-b must divide --batch")
 
+    if args.section is not None:
+        run_full(only=args.section)
+        return
     if args.full:
         try:
             run_full()

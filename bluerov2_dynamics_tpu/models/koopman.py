@@ -250,6 +250,10 @@ def evaluate(model: KoopmanModel, X, U):
     # HIGHEST matmul precision: lifted states carry raw state entries
     # (psi can be tens of rads on unwrapped recordings); the TPU-default
     # bf16 passes lose ~0.4% relative, swamping sub-1e-2 RMSE metrics.
+    # Round-4 measured A/B on the pseudo recording (H=100, v5e; see
+    # bench --section mxu): default-bf16 rmse 0.2069 (WRONG) vs HIGH
+    # 0.140447 vs HIGHEST 0.140483 — HIGH matches to 2.6e-4 rel but only
+    # buys 11% on this K=512 shape, so propagation stays HIGHEST.
     with jax.default_matmul_precision("highest"):
         Z_next = Z @ model.A.T + U[:-1] @ model.B.T
     return rmse(X[1:], decode(model, Z_next))

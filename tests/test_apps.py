@@ -362,3 +362,21 @@ def test_sim_koopman_rejects_extra_csv(tmp_path):
     with _pytest.raises(SystemExit, match="tank workloads"):
         sim_koopman.main(["--steps", "400", "--no-media",
                           "--extra-csv", "whatever.csv"])
+
+
+def test_tank_full_comparison_pinc_dp(tmp_path):
+    """The flagship app's --pinc-dp N trains PINc over an N-device mesh
+    (library DP path) end-to-end."""
+    from bluerov2_dynamics_tpu.apps import tank_full_comparison
+
+    ckpt = tmp_path / "pinc_dp.msgpack"
+    out = tank_full_comparison.main(
+        _args(tmp_path, [
+            "--pinc-epochs", "2",
+            "--pinc-hidden", "16", "16",
+            "--pinc-ckpt", str(ckpt),
+            "--pinc-dp", "4",
+        ])
+    )
+    assert ckpt.exists()
+    assert np.all(np.isfinite(out["rmses"]["PINc (ResDNN)"][1]))
