@@ -697,25 +697,13 @@ def run_full(only: str | None = None):
         n_start = Xe.shape[0] - H
         d = model.A.shape[0]
 
-        def make_ms(precision):
-            @jax.jit
-            def ms(X_, U_):
-                Z = koopman.lift(model, X_[:n_start])
-                A_T, B_T = model.A.T, model.B.T
-
-                def body(Z, t):
-                    u_t = jax.lax.dynamic_slice_in_dim(U_, t, n_start, axis=0)
-                    with jax.default_matmul_precision(precision):
-                        return Z @ A_T + u_t @ B_T, None
-
-                Z, _ = jax.lax.scan(body, Z, jnp.arange(H))
-                return rmse(Xe[H:], koopman.decode(model, Z))
-
-            return ms
-
+        # A/B through the PRODUCTION evaluator (its precision kwarg), so
+        # the measurement cannot drift from the shipped code path
         fl_ms = 2.0 * n_start * d * (d + Ue.shape[1]) * H
         for prec in ("default", "high", "highest"):
-            val, t_ms = _time_fn(make_ms(prec), Xe, Ue, warmup=1, iters=5)
+            val, t_ms = _time_fn(
+                lambda p=prec: koopman.multistep_rmse(model, Xe, Ue, H, p),
+                warmup=1, iters=5)
             rows.append((f"koopman_h100_rmse_precision_{prec}", float(val),
                          f"rmse (warm {t_ms * 1e3:.1f} ms, achieved "
                          f"{fl_ms / t_ms:.3e} flops/s)", None))
@@ -750,11 +738,12 @@ def run_full(only: str | None = None):
         ]
 
         def best_of(fn, reps=3):
-            return min(
-                (lambda t0: (fn(), time.perf_counter() - t0))(
-                    time.perf_counter())[1]
-                for _ in range(reps)
-            )
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            return best
 
         try:
             from bluerov2_dynamics_tpu.data import native_cdr
@@ -782,16 +771,24 @@ def run_full(only: str | None = None):
             rows.append(("ingest_native_speedup_vs_python",
                          (n / t_nat) / (n_py / t_py), "x", None))
 
-    # roofline first: its kernel measurement must not inherit queued work
-    # from the other sections (measured: +60% runtime when run last)
-    section("roofline", sec_roofline)
-    section("quat_rollout", sec_quat_rollout)
-    section("koopman", sec_koopman)
-    section("fossen_eval", sec_fossen_eval)
-    section("layouts", sec_layouts)
-    section("mxu", sec_mxu)
-    section("numerics_guard", sec_numerics_guard)
-    section("ingest", sec_ingest)
+    sections = {
+        "roofline": sec_roofline,
+        "quat_rollout": sec_quat_rollout,
+        "koopman": sec_koopman,
+        "fossen_eval": sec_fossen_eval,
+        "layouts": sec_layouts,
+        "mxu": sec_mxu,
+        "numerics_guard": sec_numerics_guard,
+        "ingest": sec_ingest,
+    }
+    if only is not None and only not in sections:
+        raise SystemExit(
+            f"unknown --section {only!r}; available: {', '.join(sections)}")
+    for name, fn in sections.items():
+        # roofline runs first: its kernel measurement must not inherit
+        # queued work from the other sections (measured: +60% runtime
+        # when it ran last)
+        section(name, fn)
 
     for metric, value, unit, vs in rows:
         print(json.dumps({"metric": metric, "value": value, "unit": unit,

@@ -39,6 +39,10 @@ def main(argv=None):
     ap.add_argument("--pinc-lr-schedule", choices=["const", "cosine"],
                     default="const",
                     help="PINc learning-rate schedule (cosine = improvement)")
+    ap.add_argument("--pinc-ckpt-unsafe-unpickle", action="store_true",
+                    help="allow FULL unpickling of a --pinc-ckpt .pt file "
+                         "that is not a weights-only state_dict (runs "
+                         "arbitrary code from the file; trusted files only)")
     ap.add_argument("--pinc-dp", type=int, default=1, metavar="N",
                     help="data-parallel PINc training over a mesh of the "
                          "first N local devices (1 = single-device)")
@@ -88,7 +92,8 @@ def main(argv=None):
         # torch state-dict checkpoint — e.g. the reference's shipped
         # models/pinc_best.pt (train_tank_brov2_full_comparison.py:948-969)
         info(f"Importing torch PINc checkpoint: {ckpt}")
-        net, params = pinc.load_torch_checkpoint(ckpt, hidden)
+        net, params = pinc.load_torch_checkpoint(
+            ckpt, hidden, allow_full_unpickle=args.pinc_ckpt_unsafe_unpickle)
         t_pinc = 0.0
     elif ckpt.exists():
         import json

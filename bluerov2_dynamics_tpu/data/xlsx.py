@@ -113,10 +113,14 @@ def read_sheet(path, sheet_name: str) -> Tuple[List[str], List[list]]:
     raw_rows: List[Dict[int, object]] = []
     for row in root.findall("m:sheetData/m:row", _NS):
         cells = {}
-        for c in row.findall("m:c", _NS):
+        next_col = 0  # the cell 'r' attribute is optional; ref-less cells
+        for c in row.findall("m:c", _NS):  # are positionally sequential
+            ref = c.get("r")
+            col = _col_index(ref) if ref else next_col
+            next_col = col + 1
             val = _cell_value(c, shared)
             if val is not None:
-                cells[_col_index(c.get("r", "A"))] = val
+                cells[col] = val
         if cells:
             raw_rows.append(cells)
     if not raw_rows:

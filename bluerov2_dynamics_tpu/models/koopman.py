@@ -259,13 +259,17 @@ def evaluate(model: KoopmanModel, X, U):
     return rmse(X[1:], decode(model, Z_next))
 
 
-@partial(jax.jit, static_argnums=(3,))
-def multistep_rmse(model: KoopmanModel, X, U, H: int = 10):
+@partial(jax.jit, static_argnums=(3, 4))
+def multistep_rmse(model: KoopmanModel, X, U, H: int = 10,
+                   precision: str = "highest"):
     """Endpoint H-step RMSE over all N-H starts (``koopmanEDMDc.py:172-200``).
 
     All starts are lifted once and propagated together; step t consumes the
     contiguous input slice ``U[t : t+n_start]`` (no (n_start, H, r) gather
-    materialisation as in the reference).
+    materialisation as in the reference).  ``precision`` sets the
+    propagation matmul precision — the default "highest" is the measured
+    decision (see the note on :func:`evaluate`); bench's MXU section A/Bs
+    the alternatives through this same code path.
     """
     N = X.shape[0]
     n_start = N - H
@@ -276,7 +280,7 @@ def multistep_rmse(model: KoopmanModel, X, U, H: int = 10):
 
     def body(Z, t):
         u_t = jax.lax.dynamic_slice_in_dim(U, t, n_start, axis=0)
-        with jax.default_matmul_precision("highest"):  # see multistep note
+        with jax.default_matmul_precision(precision):
             return Z @ A_T + u_t @ B_T, None
 
     Z, _ = jax.lax.scan(body, Z, jnp.arange(H))

@@ -416,10 +416,6 @@ def train(
 
         axis = mesh.axis_names[0]
         n_dev = mesh.shape[axis]  # batch shards over the FIRST mesh axis
-        if tc.batch % n_dev:
-            raise ValueError(
-                f"tc.batch={tc.batch} must divide over the {n_dev}-way "
-                f"{axis!r} mesh axis")
 
         def shard_batch(t):
             # shard the leading (batch/window) axis when divisible,
@@ -445,7 +441,14 @@ def train(
         position_invariant=tc.position_invariant,
     )
     N = data.z.shape[0]
-    n_batches = max(N // tc.batch, 1)
+    # clamp to the dataset size: N < tc.batch previously reshaped a short
+    # permutation into (1, tc.batch) and crashed inside the jitted epoch
+    batch = min(tc.batch, N)
+    if mesh is not None and batch % n_dev:
+        raise ValueError(
+            f"effective batch {batch} (min(tc.batch={tc.batch}, N={N})) "
+            f"must divide over the {n_dev}-way {axis!r} mesh axis")
+    n_batches = max(N // batch, 1)
     opt = make_optimizer(tc, total_steps=tc.epochs * n_batches)
     opt_state = opt.init(params)
     params, opt_state = replicate(params), replicate(opt_state)
@@ -468,8 +471,8 @@ def train(
     @jax.jit
     def epoch(params, opt_state, key):
         key, pkey, wkey = jax.random.split(key, 3)
-        perm = jax.random.permutation(pkey, N)[: n_batches * tc.batch]
-        perm = perm.reshape(n_batches, tc.batch)
+        perm = jax.random.permutation(pkey, N)[: n_batches * batch]
+        perm = perm.reshape(n_batches, batch)
         # consecutive-window starts for the rollout loss, one set per batch
         starts = jax.random.randint(
             wkey, (n_batches, tc.rollout_windows), 0, max(N - tc.rollout_steps - 1, 1)

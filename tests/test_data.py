@@ -328,3 +328,45 @@ def test_xlsx_reader_minimal_workbook(tmp_path):
     assert hdr_empty == [] and rows_empty == []
     with pytest.raises(KeyError):
         xlsx.read_sheet(path, "nope")
+
+
+def test_xlsx_reader_positional_cells_without_refs(tmp_path):
+    """Cells missing the optional 'r' attribute are positionally
+    sequential (the spec allows omitting refs), not collapsed to column A."""
+    import zipfile
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    wb = (
+        '<?xml version="1.0"?>'
+        f'<workbook {ns} xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="x/worksheet" Target="worksheets/sheet1.xml"/>'
+        '</Relationships>'
+    )
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        # header: no refs at all
+        '<row><c t="inlineStr"><is><t>a</t></is></c>'
+        '<c t="inlineStr"><is><t>b</t></is></c>'
+        '<c t="inlineStr"><is><t>c</t></is></c></row>'
+        # mixed: explicit ref jumps to C, next ref-less cell follows at D…
+        '<row><c><v>1</v></c><c r="C2"><v>3</v></c></row>'
+        '<row><c><v>10</v></c><c><v>20</v></c><c><v>30</v></c></row>'
+        '</sheetData></worksheet>'
+    )
+    path = tmp_path / "norefs.xlsx"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+    from bluerov2_dynamics_tpu.data import xlsx
+
+    header, rows = xlsx.read_sheet(path, "S")
+    assert header == ["a", "b", "c"]
+    assert rows[0] == [1.0, None, 3.0]
+    assert rows[1] == [10.0, 20.0, 30.0]

@@ -247,3 +247,19 @@ def test_pinc_train_mesh_rejects_indivisible_batch(rng):
     with pytest.raises(ValueError, match="mesh"):
         pinc.train(jax.random.PRNGKey(0), data,
                    pinc.TrainConfig(epochs=1, batch=100), mesh=mesh)
+
+
+def test_pinc_train_dataset_smaller_than_batch(rng):
+    """N < tc.batch clamps the effective batch instead of crashing inside
+    the jitted epoch (reshape of a short permutation)."""
+    X9, U4 = _synthetic_reduced_data(rng)
+    X9, U4 = X9[:90], U4[:90]
+    z = jnp.concatenate([X9[:-1], U4[:-1], jnp.full((len(X9) - 1, 1), 0.05)],
+                        axis=1).astype(jnp.float32)
+    data = pinc.PINcData(z=z, y=jnp.asarray(X9[1:], jnp.float32),
+                         u4=jnp.asarray(U4[:-1], jnp.float32))
+    tc = pinc.TrainConfig(epochs=2, batch=256, rollout_steps=5,
+                          rollout_windows=4, physics_weight=0.0)
+    _, params, hist = pinc.train(jax.random.PRNGKey(0), data, tc,
+                                 hidden=(8, 8))
+    assert len(hist) == 2 and np.all(np.isfinite(hist))
