@@ -263,3 +263,18 @@ def test_pinc_train_dataset_smaller_than_batch(rng):
     _, params, hist = pinc.train(jax.random.PRNGKey(0), data, tc,
                                  hidden=(8, 8))
     assert len(hist) == 2 and np.all(np.isfinite(hist))
+
+
+def test_load_torch_checkpoint_full_module_requires_opt_in(tmp_path):
+    """A .pt that is not a weights-only state_dict is refused with a clear
+    opt-in error; allow_full_unpickle=True gets past the refusal (and then
+    fails on checkpoint structure, not on the safety gate)."""
+    torch = pytest.importorskip("torch")
+
+    path = tmp_path / "full.pt"
+    torch.save({"payload": object()}, path)  # refused by weights_only=True
+
+    with pytest.raises(ValueError, match="allow_full_unpickle"):
+        pinc.load_torch_checkpoint(path)
+    with pytest.raises(KeyError):  # unpickled fine, not a PINc state_dict
+        pinc.load_torch_checkpoint(path, allow_full_unpickle=True)
