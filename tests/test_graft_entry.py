@@ -103,7 +103,7 @@ def test_bench_prints_exactly_one_json_line():
     proc = subprocess.run(
         [sys.executable, "bench.py", "--batch", "256", "--t", "20",
          "--iters", "1"],
-        cwd=str(REPO), env=env, capture_output=True, text=True, timeout=600,
+        cwd=str(REPO), env=env, capture_output=True, text=True, timeout=1200,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
