@@ -48,7 +48,7 @@ def chained_steps_per_sec(f, x0, total_steps: int, iters: int):
 
 
 def run_pallas(batch: int = 65536, T: int = 500, iters: int = 3,
-               method: str = "rk4", block_b: int = 1024):
+               method: str = "rk4", block_b: int = 2048):
     from bluerov2_dynamics_tpu.models.params import (
         fossen_params,
         lag_params,
@@ -807,7 +807,7 @@ def main():
     ap.add_argument("--batch", type=int, default=65536)
     ap.add_argument("--t", type=int, default=500, help="rollout length")
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--block-b", type=int, default=1024,
+    ap.add_argument("--block-b", type=int, default=2048,
                     help="Pallas kernel batch block size")
     args = ap.parse_args()
     if args.batch < 1 or args.t < 1 or args.iters < 1:

@@ -177,7 +177,7 @@ def make_rollout_final_pallas(
     lag: LagParams,
     dt: float,
     method: str = "rk4",
-    block_b: int = 1024,
+    block_b: int = 2048,
     interpret: bool = False,
     use_lag: bool = True,
 ):
@@ -191,7 +191,9 @@ def make_rollout_final_pallas(
     native vreg layout, zero sublane relayouts inside the loop (the
     stacked (12, B) carry paid 4 row-extracts + 4 stacks per RK4 step and
     ran 3.3x slower at identical numerics).  The (12, B) array form only
-    exists at the block boundaries (one read, one write).
+    exists at the block boundaries (one read, one write).  Default block
+    2048 from the round-4 measured alternating A/B (1.29-1.32e9 steps/s
+    vs 1.20-1.26e9 at 1024 on v5e; 4096 slightly below 2048).
     """
     rhs = _make_rhs_rows(p)
 
@@ -243,7 +245,7 @@ def rollout_final_pallas(
     U,
     dt: float,
     method: str = "rk4",
-    block_b: int = 1024,
+    block_b: int = 2048,
     interpret: bool = False,
     use_lag: bool = True,
 ):
