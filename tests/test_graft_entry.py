@@ -111,3 +111,29 @@ def test_bench_prints_exactly_one_json_line():
     rec = json.loads(lines[0])
     assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
     assert rec["value"] > 0
+
+
+def test_bench_section_cli():
+    """--section runs exactly one --full section (host-only 'ingest' keeps
+    this off the device) and rejects unknown names."""
+    import json
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "bench.py", "--section", "ingest"],
+        cwd=str(REPO), env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
+    metrics = {json.loads(l)["metric"] for l in lines}
+    assert "ingest_python_cdr_msgs_per_sec" in metrics
+    assert not any(m.startswith("fossen_rk4_steps") for m in metrics)
+
+    proc = subprocess.run(
+        [sys.executable, "bench.py", "--section", "nope"],
+        cwd=str(REPO), env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode != 0
+    assert "unknown --section" in proc.stderr
