@@ -221,6 +221,29 @@ def endpoint_evaluator_with_pallas(X_test, U_test, build_pallas, scan_eval):
     return run
 
 
+def make_timer():
+    """``timer(fn, *args) -> (result, cold_s, warm_s)`` for app tables.
+
+    On TPU: the slope method (:func:`time_fn_slope`), which cancels the
+    ~60 ms tunnel dispatch floor that otherwise makes every sub-60 ms
+    call read identically (round-3 VERDICT item 3; it also hid that the
+    reference's CPU beat our *single-call* numbers on tiny rollouts).
+    Elsewhere (CPU test runs) single-call timing is accurate and 7x
+    cheaper (15 calls per cell -> 2).
+    """
+    import jax
+
+    from bluerov2_dynamics_tpu.eval.timing import time_fn_slope
+
+    if jax.default_backend() == "tpu":
+        return time_fn_slope
+
+    def timer(fn, *args):
+        return time_fn_cold_warm(fn, *args, iters=1)
+
+    return timer
+
+
 def timed_metric_table(
     evaluators: Dict[str, Callable[[int], float]],
     horizons: Sequence[int] = HORIZONS,
@@ -237,19 +260,7 @@ def timed_metric_table(
     evaluator read identically in single-call timings (round-3 VERDICT
     item 3) — per-model warm numbers now resolve real device time.
     """
-    import jax
-
-    from bluerov2_dynamics_tpu.eval.timing import time_fn_slope
-
-    # the slope method exists to cancel the tunneled-TPU dispatch floor;
-    # elsewhere (CPU test runs) single-call timing is accurate and 7x
-    # cheaper (15 evaluator calls per cell -> 2)
-    if jax.default_backend() == "tpu":
-        timer = time_fn_slope
-    else:
-        def timer(fn, H):
-            val, cold_s, warm_s = time_fn_cold_warm(fn, H, iters=1)
-            return val, cold_s, warm_s
+    timer = make_timer()
 
     rmses: Dict[str, Dict[int, float]] = {}
     times: Dict[str, Dict[int, float]] = {}

@@ -234,18 +234,20 @@ def main(argv=None):
     x0 = X_te[start]
     U_seq = U_te[start : start + horizon]
 
-    predK, tKc, tK = time_fn_cold_warm(lambda: koopman.simulate(model, x0, U_seq))
+    rollout_timer = common.make_timer()  # slope on TPU: single-call times
+    # of these ~ms rollouts are dispatch floor, not compute
+    predK, tKc, tK = rollout_timer(lambda: koopman.simulate(model, x0, U_seq))
     p = fossen_params()
     sim_fossen = jax.jit(
         lambda x0, U: fossen.simulate_thruster(p, cfg, lag, x0, U, dt,
                                                method=args.integrator)
     )
-    predF, tFc, tF = time_fn_cold_warm(sim_fossen, x0, U_seq)
+    predF, tFc, tF = rollout_timer(sim_fossen, x0, U_seq)
     di_variant = "euler12" if args.integrator == "euler" else "euler12_rk4"
     sim_di = jax.jit(lambda x0, U: di.simulate(gains, x0, U, dt, variant=di_variant))
-    predD, tDc, tD = time_fn_cold_warm(sim_di, x0, U_seq)
+    predD, tDc, tD = rollout_timer(sim_di, x0, U_seq)
     sim_pinc = jax.jit(lambda x0, U4: pinc.simulate(net, params, x0, U4, dt))
-    predP, tPc, tP = time_fn_cold_warm(sim_pinc, x0, U4_te[start : start + horizon])
+    predP, tPc, tP = rollout_timer(sim_pinc, x0, U4_te[start : start + horizon])
     common.print_rollout_timings(
         {"Koopman": (tKc, tK), "Fossen (BlueROV2)": (tFc, tF),
          "Double Integrator": (tDc, tD), "PINc (ResDNN)": (tPc, tP)}
