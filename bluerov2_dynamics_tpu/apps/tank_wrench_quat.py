@@ -80,38 +80,15 @@ def main(argv=None):
         scan_eval=lambda H: metrics.endpoint_rmse(fossen_step, X_te, U_te, H),
     )
 
-    from functools import lru_cache
-
-    @lru_cache(maxsize=None)
-    def _koopman_eval_fn(H: int):
-        # Jitted per horizon: the unjitted round-3 version paid ~40 eager
-        # op dispatches per call (~1.2 s over the tunnel, exposed by the
-        # slope timings); and the propagation now runs at HIGHEST matmul
-        # precision like every other Koopman evaluator (the measured
-        # round-4 A/B: TPU-default bf16 propagation is numerically wrong
-        # on raw-state lifts — see models/koopman.py).
-        n_start = X_te.shape[0] - H
-
-        @jax.jit
-        def f(X, U):
-            Z = koopman.lift(model, X[:n_start])
-
-            def body(Z, t):
-                u_t = jax.lax.dynamic_slice_in_dim(U, t, n_start, axis=0)
-                with jax.default_matmul_precision("highest"):
-                    return Z @ model.A.T + u_t @ model.B.T, None
-
-            Z, _ = jax.lax.scan(body, Z, jnp.arange(H))
-            # the reference renormalizes the quaternion block of Koopman
-            # predictions before scoring
-            # (train_tank_brov2_wrench_quat.py:466-467)
-            pred = fossen.renormalize_quat13(koopman.decode(model, Z))
-            return metrics.rmse(X[H:], pred)
-
-        return f
-
     def koopman_eval(H: int):
-        return _koopman_eval_fn(H)(X_te, U_te)
+        # The shared jitted evaluator (HIGHEST-precision propagation,
+        # NaN for H >= test length) with the reference's quat renorm
+        # before scoring (train_tank_brov2_wrench_quat.py:466-467).
+        # The round-3 app-local copy of this logic was un-jitted (~1.2 s
+        # per call over the tunnel) and ran at default-bf16 precision —
+        # one code path now (models/koopman.py:multistep_rmse).
+        return koopman.multistep_rmse(
+            model, X_te, U_te, H, post_decode=fossen.renormalize_quat13)
 
     common.timed_metric_table(
         {

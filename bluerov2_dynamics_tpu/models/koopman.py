@@ -259,9 +259,9 @@ def evaluate(model: KoopmanModel, X, U):
     return rmse(X[1:], decode(model, Z_next))
 
 
-@partial(jax.jit, static_argnums=(3, 4))
+@partial(jax.jit, static_argnums=(3, 4, 5))
 def multistep_rmse(model: KoopmanModel, X, U, H: int = 10,
-                   precision: str = "highest"):
+                   precision: str = "highest", post_decode=None):
     """Endpoint H-step RMSE over all N-H starts (``koopmanEDMDc.py:172-200``).
 
     All starts are lifted once and propagated together; step t consumes the
@@ -269,7 +269,11 @@ def multistep_rmse(model: KoopmanModel, X, U, H: int = 10,
     materialisation as in the reference).  ``precision`` sets the
     propagation matmul precision — the default "highest" is the measured
     decision (see the note on :func:`evaluate`); bench's MXU section A/Bs
-    the alternatives through this same code path.
+    the alternatives through this same code path.  ``post_decode`` (a
+    static jittable callable) transforms the decoded predictions before
+    scoring — e.g. ``fossen.renormalize_quat13`` for the quaternion
+    workload, which scores renormalized predictions
+    (``train_tank_brov2_wrench_quat.py:466-467``).
     """
     N = X.shape[0]
     n_start = N - H
@@ -284,7 +288,10 @@ def multistep_rmse(model: KoopmanModel, X, U, H: int = 10,
             return Z @ A_T + u_t @ B_T, None
 
     Z, _ = jax.lax.scan(body, Z, jnp.arange(H))
-    return rmse(X[H:], decode(model, Z))
+    pred = decode(model, Z)
+    if post_decode is not None:
+        pred = post_decode(pred)
+    return rmse(X[H:], pred)
 
 
 @jax.jit

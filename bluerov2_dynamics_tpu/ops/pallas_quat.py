@@ -233,17 +233,18 @@ def make_rollout_final_pallas_quat(
     def fn(x0, TAU):
         B = x0.shape[0]
         T = TAU.shape[0]
-        assert B % block_b == 0, f"B={B} not divisible by block_b={block_b}"
+        bb = min(block_b, B)  # small batches: one block
+        assert B % bb == 0, f"B={B} not divisible by block_b={bb}"
         out = pl.pallas_call(
             kernel_factory(T),
             out_shape=jax.ShapeDtypeStruct((13, B), x0.dtype),
-            grid=(B // block_b,),
+            grid=(B // bb,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # (T, 6) wrenches
-                pl.BlockSpec((13, block_b), lambda i: (0, i),
+                pl.BlockSpec((13, bb), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((13, block_b), lambda i: (0, i),
+            out_specs=pl.BlockSpec((13, bb), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )(TAU.astype(x0.dtype), x0.T)

@@ -215,20 +215,22 @@ def make_rollout_final_pallas(
     def fn(x0, U):
         B = x0.shape[0]
         T = U.shape[0]
-        assert B % block_b == 0, f"B={B} not divisible by block_b={block_b}"
+        bb = min(block_b, B)  # small batches: one block (keeps B=1024
+        # etc. working under the 2048 default)
+        assert B % bb == 0, f"B={B} not divisible by block_b={bb}"
         tau_seq = shared_tau_sequence(cfg, lag, U.astype(jnp.float32), use_lag)
         out = pl.pallas_call(
             kernel_factory(T),
             out_shape=jax.ShapeDtypeStruct((12, B), x0.dtype),
-            grid=(B // block_b,),
+            grid=(B // bb,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # tau_seq (T, 6)
                 pl.BlockSpec(
-                    (12, block_b), lambda i: (0, i), memory_space=pltpu.VMEM
+                    (12, bb), lambda i: (0, i), memory_space=pltpu.VMEM
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (12, block_b), lambda i: (0, i), memory_space=pltpu.VMEM
+                (12, bb), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             interpret=interpret,
         )(tau_seq, x0.T)
