@@ -458,8 +458,11 @@ def run_full(only: str | None = None):
         except Exception as e:  # pragma: no cover - platform fallback
             print(f"[warn] --full section '{name}' failed "
                   f"({type(e).__name__}: {e}); skipping", file=sys.stderr)
-            rows.append((f"{name}_error", 1.0,
-                         f"{type(e).__name__}: {e}"[:120], 0.0))
+            # same schema as normal rows (unit='error', vs=None) with the
+            # exception text in a dedicated 'error' key, so a consumer
+            # diffing BENCH_r*.json never sees schema drift on failures
+            rows.append((f"{name}_error", 1.0, "error", None,
+                         f"{type(e).__name__}: {e}"[:120]))
 
     def sec_koopman():
         X, U = dataset()
@@ -790,9 +793,12 @@ def run_full(only: str | None = None):
         # when it ran last)
         section(name, fn)
 
-    for metric, value, unit, vs in rows:
-        print(json.dumps({"metric": metric, "value": value, "unit": unit,
-                          "vs_baseline": vs}))
+    for metric, value, unit, vs, *err in rows:
+        rec = {"metric": metric, "value": value, "unit": unit,
+               "vs_baseline": vs}
+        if err:
+            rec["error"] = err[0]
+        print(json.dumps(rec))
 
 
 def main():

@@ -16,6 +16,9 @@ boundary between host and device (SURVEY.md §7).  Sub-modules:
 * :mod:`typesys` — dependency-free ``.msg``/``.idl`` type definitions ->
   generic schema-driven CDR decoding (the reference's custom-type
   registration, ``rosbags/bag2csv.py:74-97``).
+* :mod:`bagmeta` — stdlib rosbag2 ``metadata.yaml`` reader; validates the
+  configured topics/types against the REAL tank recordings' metadata
+  (the payload-free ground truth surviving the LFS stubs).
 """
 
 from bluerov2_dynamics_tpu.data.csv_loader import (  # noqa: F401

@@ -431,6 +431,63 @@ def read_bag(bag_path, topics: BagTopics = BagTopics(), verbose: bool = True
     return df_odom.sort_values("t").reset_index(drop=True), df_act
 
 
+def validate_against_metadata(bag_path, topics: BagTopics = BagTopics(),
+                              hz: float = 50.0):
+    """Cross-check the configured topics against the bag's ``metadata.yaml``.
+
+    The real tank recordings' metadata files survive in the reference
+    checkout even though the ``.db3`` payloads are LFS stubs (e.g.
+    ``rosbags/rosbag2_2025_11_06/rosbag2_2025_11_06-manual/metadata.yaml:1``),
+    so the configured :class:`BagTopics` can be validated against the
+    actual recording layout BEFORE decoding: each topic must exist, be
+    CDR-serialized, have a decoder (hand-written :data:`..data.cdr.DECODERS`
+    or a :mod:`..data.typesys` schema), and carry messages at a rate at or
+    above the resample target ``hz``.
+
+    Returns ``(BagMetadata, report)`` where ``report`` maps each
+    ``BagTopics`` field to a dict with ``topic / found / type / decodable /
+    rate_hz / issues``; prints ``[i]/[warn]`` lines per topic.  Raises
+    ``FileNotFoundError`` if the bag directory has no ``metadata.yaml``.
+    """
+    from bluerov2_dynamics_tpu.data import bagmeta, cdr, typesys
+
+    meta = bagmeta.read_metadata(bag_path)
+    decodable_types = set(cdr.DECODERS) | set(typesys.default_typestore().types)
+    report = {}
+    for field in dataclasses.fields(BagTopics):
+        name = getattr(topics, field.name)
+        entry = {"topic": name, "found": False, "type": None,
+                 "decodable": False, "rate_hz": 0.0, "issues": []}
+        report[field.name] = entry
+        try:
+            t = meta.topic(name)
+        except KeyError:
+            entry["issues"].append("topic not in recording")
+            warn(f"{field.name}: topic {name!r} not in the recording")
+            continue
+        entry["found"] = True
+        entry["type"] = t.type
+        entry["decodable"] = t.type in decodable_types
+        entry["rate_hz"] = meta.rate_hz(name)
+        if t.serialization_format != "cdr":
+            entry["issues"].append(
+                f"serialization {t.serialization_format!r} != 'cdr'")
+        if not entry["decodable"]:
+            entry["issues"].append(f"no decoder for type {t.type!r}")
+        if t.message_count == 0:
+            entry["issues"].append("0 messages")
+        elif entry["rate_hz"] < hz:
+            entry["issues"].append(
+                f"rate {entry['rate_hz']:.1f} Hz below the {hz:.0f} Hz "
+                "resample target")
+        if entry["issues"]:
+            warn(f"{field.name}: {name} -> " + "; ".join(entry["issues"]))
+        else:
+            info(f"{field.name}: {name} [{t.type}] "
+                 f"{t.message_count} msgs @ {entry['rate_hz']:.1f} Hz")
+    return meta, report
+
+
 def convert(
     bag_path,
     out_base=None,
@@ -442,6 +499,11 @@ def convert(
     """Full pipeline: bag -> cleaned 50 Hz CSV (+ optional parquet/video)."""
     bag_path = Path(bag_path)
     info(f"Opening bag at: {bag_path}")
+    if (bag_path / "metadata.yaml").exists():
+        try:
+            validate_against_metadata(bag_path, topics, hz)
+        except Exception as e:  # diagnostics must never block ingestion
+            warn(f"metadata.yaml validation failed: {e}")
     try:
         df_odom, df_act = read_bag(bag_path, topics)
     except ImportError:

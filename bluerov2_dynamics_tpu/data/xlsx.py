@@ -127,7 +127,10 @@ def read_sheet(path, sheet_name: str) -> Tuple[List[str], List[list]]:
         return [], []
 
     header_cells = raw_rows[0]
-    ncols = max(header_cells) + 1
+    # width = max column index over ALL rows, not just the header: a short
+    # header row must not silently drop data cells beyond it (pandas
+    # surfaces such columns as 'Unnamed: N'; here they become 'colN')
+    ncols = max(max(cells) for cells in raw_rows) + 1
     header = [str(header_cells.get(i, f"col{i}")) for i in range(ncols)]
     rows = [[cells.get(i) for i in range(ncols)] for cells in raw_rows[1:]]
     return header, rows

@@ -65,7 +65,7 @@ def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 1, **kwargs):
 
 
 def time_fn_slope(fn: Callable, *args, k_lo: int = 2, k_hi: int = 10,
-                  **kwargs):
+                  reps: int = 3, **kwargs):
     """Time ``fn`` with the single-call dispatch overhead removed:
     ``(result, cold_seconds, warm_seconds)`` where warm is the SLOPE of
     wall time over batched call count.
@@ -83,6 +83,13 @@ def time_fn_slope(fn: Callable, *args, k_lo: int = 2, k_hi: int = 10,
     leaves can be summed (scalar metrics).  Backlog stays bounded
     (``k_hi`` small metric evals), respecting the platform rule against
     queueing large unconsumed executions.
+
+    The pair is repeated ``reps`` times and the MEDIAN slope reported: a
+    single tunnel hiccup during one batch corrupts that pair's slope, and
+    with one pair the corrupted (possibly negative) value would land in
+    blessed tables unflagged.  If the median itself is non-positive the
+    measurement is untrustworthy and ``warm`` is returned as ``nan`` —
+    never silently clamped to 0.0.
     """
 
     def batch(k):
@@ -97,10 +104,15 @@ def time_fn_slope(fn: Callable, *args, k_lo: int = 2, k_hi: int = 10,
     t0 = time.perf_counter()
     result = sync(fn(*args, **kwargs))
     cold = time.perf_counter() - t0
-    batch(k_lo)  # settle caches/transfers before the timed pair
-    t_lo = batch(k_lo)
-    t_hi = batch(k_hi)
-    warm = max((t_hi - t_lo) / (k_hi - k_lo), 0.0)
+    batch(k_lo)  # settle caches/transfers before the timed pairs
+    slopes = []
+    for _ in range(max(reps, 1)):
+        t_lo = batch(k_lo)
+        t_hi = batch(k_hi)
+        slopes.append((t_hi - t_lo) / (k_hi - k_lo))
+    warm = float(np.median(slopes))
+    if warm <= 0.0:
+        warm = float("nan")
     return result, cold, warm
 
 

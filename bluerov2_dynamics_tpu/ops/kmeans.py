@@ -71,7 +71,15 @@ def kmeans(key, X, k: int, iters: int = 25):
         assign = jnp.argmin(d2, axis=1)
         onehot = jax.nn.one_hot(assign, k, dtype=X.dtype)  # (N, k)
         counts = jnp.sum(onehot, axis=0)                   # (k,)
-        sums = onehot.T @ X                                # (k, n) — MXU
+        # HIGHEST like every GEMM whose operands carry raw state values
+        # (repo rule from the round-2 bf16 cancellation bug): this is pure
+        # summation (no cancellation), but bf16 still costs ~3 decimal
+        # digits on centers whose coordinates sit far from the origin
+        # (unwrapped psi ~ tens of rads).  Cost: ONE (N,k)^T @ (N,n) GEMM
+        # per Lloyd round, ~2*N*k*n = 0.3 GFLOP for the tank fit shapes —
+        # negligible against the (N,k) distance GEMM already at HIGHEST.
+        sums = jnp.matmul(onehot.T, X,
+                          precision=jax.lax.Precision.HIGHEST)  # (k, n)
         new = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None], centers)
         return new, None
 

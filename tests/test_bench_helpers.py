@@ -67,9 +67,37 @@ def test_time_fn_slope_cancels_constant_overhead():
         _time.sleep(0.004)  # simulated per-call cost incl. "dispatch"
         return jnp.float32(H)
 
-    val, cold, warm = time_fn_slope(fn, 7, k_lo=2, k_hi=6)
+    val, cold, warm = time_fn_slope(fn, 7, k_lo=2, k_hi=6, reps=3)
     assert float(val) == 7.0
     assert cold > 0
     # slope ~ 4 ms/call; generous band for CI jitter
     assert 0.002 < warm < 0.012
-    assert len(calls) == 1 + 2 + 2 + 6  # cold + settle + k_lo + k_hi
+    # cold + settle + reps * (k_lo + k_hi)
+    assert len(calls) == 1 + 2 + 3 * (2 + 6)
+
+
+def test_time_fn_slope_flags_nonpositive_slope_as_nan():
+    """A measurement whose median slope comes out non-positive (tunnel
+    hiccup during the k_lo batches) is flagged as nan, not clamped to a
+    silently-wrong 0.0 (round-4 advisor finding)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from bluerov2_dynamics_tpu.eval.timing import time_fn_slope
+
+    import time as _time
+
+    # call indices belonging to the k_lo batches of the timed pairs
+    # (cold=0, settle=1-2, then per rep: 2 k_lo calls + 10 k_hi calls)
+    k_lo_calls = {3, 4, 15, 16, 27, 28}
+    counter = {"i": -1}
+
+    def slow_fn():
+        counter["i"] += 1
+        if counter["i"] in k_lo_calls:  # hiccup hits every k_lo batch
+            _time.sleep(0.01)
+        return jnp.float32(1.0)
+
+    _, _, warm = time_fn_slope(slow_fn, k_lo=2, k_hi=10, reps=3)
+    assert math.isnan(warm)
