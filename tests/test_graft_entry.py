@@ -137,3 +137,36 @@ def test_bench_section_cli():
     )
     assert proc.returncode != 0
     assert "unknown --section" in proc.stderr
+
+
+def test_dryrun_fails_on_broken_psum(monkeypatch):
+    """The dryrun's equality assertions must CATCH a wrong sharded value,
+    not just a NaN (round-4 VERDICT weak-item 5).  Two sabotage modes:
+
+    - a DROPPED psum leaves per-shard partials -> shard_map's static
+      replication check refuses the out_specs (fails fast, good);
+    - a SCALED psum is properly replicated but numerically wrong — only
+      the single-device equality cross-checks can catch it, and must.
+    """
+    import jax
+
+    real_psum = jax.lax.psum
+
+    # dropped reduce: fails (statically or numerically), either way fails
+    monkeypatch.setattr(jax.lax, "psum", lambda x, axis_name, **kw: x)
+    with np.testing.assert_raises(Exception):
+        graft.dryrun_multichip(8)
+
+    # scaled reduce: finite, replicated, WRONG — must trip the
+    # "deviates from single-device reference" assertion specifically
+    monkeypatch.setattr(
+        jax.lax, "psum",
+        lambda x, axis_name, **kw: real_psum(x, axis_name, **kw) * 2.0,
+    )
+    try:
+        graft.dryrun_multichip(8)
+    except AssertionError as e:
+        assert "deviates" in str(e)
+    else:
+        raise AssertionError(
+            "dryrun accepted a 2x-scaled psum — equality checks missing")
