@@ -17,6 +17,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 import time
 
@@ -48,7 +49,13 @@ def chained_steps_per_sec(f, x0, total_steps: int, iters: int):
 
 
 def run_pallas(batch: int = 65536, T: int = 500, iters: int = 3,
-               method: str = "rk4", block_b: int = 2048):
+               method: str = "rk4", block_b: int = 2048, repeats: int = 1):
+    """Headline kernel throughput.  Returns a LIST of ``repeats``
+    independent ``(steps_per_sec, seconds_per_call)`` measurements of the
+    same compiled kernel (each one an ``iters``-deep chained timing
+    region): the published headline is the MEDIAN of >=3 repeats, with the
+    min..max band alongside — a single best-ever run is not reproducible
+    on the tunnel (round-4 VERDICT weak-item 1: ~10% run-to-run band)."""
     from bluerov2_dynamics_tpu.models.params import (
         fossen_params,
         lag_params,
@@ -66,7 +73,9 @@ def run_pallas(batch: int = 65536, T: int = 500, iters: int = 3,
     x0 = 0.1 * jax.random.normal(k1, (batch, 12), jnp.float32)
     U = jnp.clip(0.5 * jax.random.normal(k2, (T, 8), jnp.float32), -1.0, 1.0)
 
-    return chained_steps_per_sec(lambda x: roll(x, U), x0, batch * T, iters)
+    f = lambda x: roll(x, U)  # noqa: E731
+    return [chained_steps_per_sec(f, x0, batch * T, iters)
+            for _ in range(repeats)]
 
 
 def run(batch: int = 16384, T: int = 500, iters: int = 5, method: str = "rk4"):
@@ -251,34 +260,124 @@ def measure_vpu_fma_tree_peak(rows: int = 128, iters: int = 8192,
                                  calls)[0]
 
 
-def quat_step_op_counts(method: str = "rk4"):
-    """Machine-audited per-trajectory op counts of ONE quat13 Pallas
-    kernel step (RK4 + per-stage and post-step normalize), from the jaxpr
-    of the exact row computation the kernel performs.
+def measure_quat_mix_peak(oc=None, rows: int = 128, iters: int = 4096,
+                          chains: int = 8, calls: int = 3,
+                          interpret: bool = False):
+    """MEASURED ceiling for the quat13 kernel's exact audited op mix.
 
-    Returns a dict with ``flops`` (add+sub+mul — all vector ops on the
-    (B,) rows; scalar-only ops excluded), ``div``, ``sqrt``, ``cheap``
-    (abs/neg/select/compare at ~1 issue slot each), and ``slots``: the
-    minimum VPU issue slots under maximal mul+add FMA fusion
-    (muls + adds + subs − min(muls, adds+subs) + cheap).
+    The issue-slot model prices div/sqrt/rsqrt at zero and every cheap op
+    at one slot — assumptions, not measurements.  This kernel removes the
+    assumptions: per loop iteration it emits exactly the quat13 step's
+    audited op-class budget (``oc`` from :func:`quat_step_op_counts`) —
+    the same number of issue slots of fused-FMA work (independent Horner
+    chains, max ILP), the same number of ``div``/``rsqrt`` ops and the
+    same number of cheap ops (abs/max/compare/select), wired into the
+    dataflow so none can be folded away — with a single accumulate as the
+    only loop-carried dependency.  One loop iteration therefore "costs"
+    one kernel step under the slot model, and the measured iterations/s
+    per lane is a ceiling in real steps/s that PRICES the div/rsqrt/cheap
+    ops at their true throughput.  The emitted body is jaxpr-audited with
+    the same bucketer as the kernel step and asserted to match ``oc`` on
+    the slots/div/sqrt/cheap buckets exactly.
+
+    Returns ``(steps_per_sec, emitted_buckets)``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if oc is None:
+        oc = quat_step_op_counts()
+    n_rsqrt, n_div, n_cheap = oc["sqrt"], oc["div"], oc["cheap"]
+    n_cheap_chains = min(4, n_cheap)
+    n_values = chains + n_rsqrt + n_div + n_cheap_chains
+    # Slot ledger under the audit's maximal-fusion pricing
+    # (slots = max(muls, adds) + cheap; adds dominate here): every Horner
+    # step is one fused slot, and the seed/rsqrt/div-input muls fuse into
+    # the accumulate-tree adds, which cost n_values slots total.
+    horner = oc["slots"] - oc["cheap"] - n_values
+    assert horner >= chains, f"op budget too small: horner={horner}"
+    depths = [horner // chains + (1 if c < horner % chains else 0)
+              for c in range(chains)]
+
+    def body_math(i, a, acc):
+        v = a * (jnp.float32(1.0) + jnp.float32(1e-7) * i.astype(jnp.float32))
+        ts = []
+        for c in range(chains):
+            t = v
+            for d in range(depths[c]):
+                t = t * jnp.float32(0.99 + 0.0001 * c) + jnp.float32(
+                    1e-3 * (d + 1))
+            ts.append(t)
+        rs = [jax.lax.rsqrt(ts[j % chains] * ts[j % chains])
+              for j in range(n_rsqrt)]
+        ds = [jnp.float32(1.0) / (ts[j % chains] * ts[j % chains])
+              for j in range(n_div)]
+        us = [ts[k % chains] for k in range(n_cheap_chains)]
+        emitted = 0
+        k = 0
+        while emitted < n_cheap:
+            lane = k % n_cheap_chains
+            sel = k % 3
+            if sel == 0:
+                us[lane] = jnp.abs(us[lane])
+                emitted += 1
+            elif sel == 1:
+                us[lane] = jnp.maximum(us[lane], jnp.float32(0.1))
+                emitted += 1
+            elif emitted + 2 <= n_cheap:
+                b = us[lane] < jnp.float32(0.5)
+                us[lane] = jnp.where(b, us[lane], v)
+                emitted += 2
+            else:
+                us[lane] = -us[lane]
+                emitted += 1
+            k += 1
+        s = ts[0]
+        for t in ts[1:] + rs + ds + us:
+            s = s + t
+        return acc + s * jnp.float32(1e-6)
+
+    emitted_oc = _vector_op_buckets(
+        body_math, jnp.int32(1),
+        jnp.zeros((8,), jnp.float32), jnp.zeros((8,), jnp.float32))
+    for key in ("slots", "div", "sqrt", "cheap"):
+        assert emitted_oc[key] == oc[key], (
+            f"mix kernel {key}={emitted_oc[key]} != audited {oc[key]}")
+
+    def kernel(x_ref, o_ref):
+        a = x_ref[:]
+        o_ref[:] = jax.lax.fori_loop(
+            0, iters, lambda i, acc: body_math(i, a, acc), x_ref[:])
+
+    @jax.jit
+    def f(x):
+        y = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x)
+        return y * (0.5 / jnp.mean(jnp.abs(y)))  # rescale so calls chain
+
+    x = jnp.full((rows, 128), 0.5, jnp.float32)
+    sps = chained_steps_per_sec(f, x, rows * 128 * iters, calls)[0]
+    return sps, emitted_oc
+
+
+def _vector_op_buckets(fn, *args):
+    """Jaxpr-audited VECTOR op-class counts of ``fn(*args)`` (scalar-only
+    ops excluded), bucketed the way the issue-slot model prices them.
+
+    Returns a dict with ``flops`` (add+sub+mul), ``div``, ``sqrt``
+    (sqrt+rsqrt), ``cheap`` (abs/neg/select/compare/max at ~1 issue slot
+    each), and ``slots``: the minimum VPU issue slots under maximal
+    mul+add FMA fusion (muls + adds + subs − min(muls, adds+subs) +
+    cheap).
     """
     from collections import Counter
 
-    from bluerov2_dynamics_tpu.models.params import fossen_params
-    from bluerov2_dynamics_tpu.ops.pallas_quat import (
-        _make_rhs_quat_rows,
-        _quat_step_rows,
-    )
-
-    rhs = _make_rhs_quat_rows(fossen_params())
-
-    def kernel_step(xs, tau):
-        return _quat_step_rows(rhs, xs, tau, 0.02, method, True)
-
-    jaxpr = jax.make_jaxpr(kernel_step)(
-        tuple(jnp.zeros((8,), jnp.float32) for _ in range(13)),
-        tuple(jnp.float32(0) for _ in range(6)),
-    )
+    jaxpr = jax.make_jaxpr(fn)(*args)
     c = Counter()
 
     def count(jx):
@@ -302,6 +401,29 @@ def quat_step_op_counts(method: str = "rk4"):
         "cheap": cheap,
         "slots": muls + adds - min(muls, adds) + cheap,
     }
+
+
+def quat_step_op_counts(method: str = "rk4"):
+    """Machine-audited per-trajectory op counts of ONE quat13 Pallas
+    kernel step (RK4 + per-stage and post-step normalize), from the jaxpr
+    of the exact row computation the kernel performs (buckets per
+    :func:`_vector_op_buckets`)."""
+    from bluerov2_dynamics_tpu.models.params import fossen_params
+    from bluerov2_dynamics_tpu.ops.pallas_quat import (
+        _make_rhs_quat_rows,
+        _quat_step_rows,
+    )
+
+    rhs = _make_rhs_quat_rows(fossen_params())
+
+    def kernel_step(xs, tau):
+        return _quat_step_rows(rhs, xs, tau, 0.02, method, True)
+
+    return _vector_op_buckets(
+        kernel_step,
+        tuple(jnp.zeros((8,), jnp.float32) for _ in range(13)),
+        tuple(jnp.float32(0) for _ in range(6)),
+    )
 
 
 def step_costs_per_trajectory(method: str = "rk4", batch: int = 1024):
@@ -521,7 +643,7 @@ def run_full(only: str | None = None):
         trig_step = step_trig_count()
         rows.append(("fossen_rk4_trig_per_step_jaxpr", trig_step,
                      "sin_cos_evals", None))
-        pallas_sps, _ = run_pallas(iters=3)
+        (pallas_sps, _), = run_pallas(iters=3)
         trig_bound = trans_peak / trig_step
         rows.append(("fossen_rk4_trig_only_bound_steps_per_sec", trig_bound,
                      "6dof_rk4_steps/s (ALL non-trig work modeled free)",
@@ -584,6 +706,18 @@ def run_full(only: str | None = None):
                      "slot rate)", None))
         rows.append(("fossen_quat13_fraction_of_slot_bound",
                      sps / slot_bound, "fraction", None))
+        # Round-5: the slot bound PRICES div/rsqrt at zero and cheap ops
+        # at one slot — assumptions.  The mix peak measures the same
+        # audited op budget as a max-ILP kernel (exact slots/div/rsqrt/
+        # cheap match, jaxpr-asserted), so it is the measured ceiling for
+        # this op mix; the gap between it and the slot bound is the true
+        # cost of the non-FMA ops, not kernel inefficiency.
+        mix_peak, _ = measure_quat_mix_peak(oc)
+        rows.append(("fossen_quat13_mix_peak_steps_per_sec", mix_peak,
+                     "13state_rk4_steps/s (measured max-ILP ceiling for "
+                     "the audited op mix)", None))
+        rows.append(("fossen_quat13_fraction_of_mix_peak",
+                     sps / mix_peak, "fraction", None))
 
     def sec_numerics_guard():
         # Round-2 bf16 Gram-cancellation regression guard, executed on the
@@ -774,11 +908,82 @@ def run_full(only: str | None = None):
             rows.append(("ingest_native_speedup_vs_python",
                          (n / t_nat) / (n_py / t_py), "x", None))
 
+    def sec_window_blocks():
+        # CHAINED block_b sweep for the sliding-window evaluator family
+        # (thruster-euler12 / wrench-euler12 / quat13) at the tank
+        # workload shape (H=100; ~9k and ~37k rollout starts) — the sweep
+        # the round-4 VERDICT asked for (weak-item 3): the 512 default was
+        # never separated from dispatch noise.  Slope timing proved too
+        # noisy for these sub-10 ms kernels (it produced >speed-of-light
+        # readings), so this uses the headline rollout's discipline
+        # instead: each call's X depends on the previous call's output
+        # through a vanishing perturbation (X0 + 1e-20*finals), which
+        # chains the device stream exactly like the rollout benchmark
+        # while keeping the numeric state constant.  Median of 3 regions.
+        from bluerov2_dynamics_tpu.models.params import (
+            fossen_params,
+            lag_params,
+            thruster_config,
+        )
+        from bluerov2_dynamics_tpu.ops.pallas_eval import (
+            make_endpoint_final_pallas,
+            make_endpoint_final_pallas_wrench,
+        )
+        from bluerov2_dynamics_tpu.ops.pallas_quat import (
+            make_endpoint_final_pallas_quat,
+        )
+
+        dt, H = 0.02, 100
+        p = fossen_params()
+        cfg = thruster_config()
+        lag = lag_params(dt)
+        key = jax.random.PRNGKey(0)
+        for n_start in (8192, 36864):
+            N = n_start + H
+            iters = 60 if n_start == 8192 else 20
+            ks = jax.random.split(key, 4)
+            X12 = 0.1 * jax.random.normal(ks[0], (N, 12), jnp.float32)
+            U8 = jnp.clip(0.5 * jax.random.normal(ks[1], (N, 8), jnp.float32),
+                          -1.0, 1.0)
+            TAU6 = 4.0 * jax.random.normal(ks[2], (N, 6), jnp.float32)
+            X13 = 0.1 * jax.random.normal(ks[3], (N, 13), jnp.float32)
+            X13 = X13.at[:, 3].add(1.0)
+            families = (
+                ("thruster", make_endpoint_final_pallas,
+                 (p, cfg, lag, dt, H), X12, U8),
+                ("wrench", make_endpoint_final_pallas_wrench,
+                 (p, dt, H), X12, TAU6),
+                ("quat", make_endpoint_final_pallas_quat,
+                 (p, dt, H), X13, TAU6),
+            )
+            for name, build, bargs, X0, U in families:
+                for bb in (256, 512, 1024, 2048, 4096):
+                    ev = build(*bargs, block_b=bb)
+
+                    @jax.jit
+                    def f(X, X0=X0, U=U, ev=ev):
+                        finals = ev(X, U)
+                        # keep values pinned at X0 but make the next call
+                        # data-depend on this call's output
+                        return X0.at[:finals.shape[0]].add(1e-20 * finals)
+
+                    times = [
+                        chained_steps_per_sec(f, X0, n_start * H, iters)[1]
+                        for _ in range(3)
+                    ]
+                    warm = float(np.median(times))
+                    rows.append((
+                        f"window_{name}_n{n_start}_blk{bb}_warm_s",
+                        warm,
+                        f"s/call ({n_start * H / warm:.3e} steps/s)",
+                        None))
+
     sections = {
         "roofline": sec_roofline,
         "quat_rollout": sec_quat_rollout,
         "koopman": sec_koopman,
         "fossen_eval": sec_fossen_eval,
+        "window_blocks": sec_window_blocks,
         "layouts": sec_layouts,
         "mxu": sec_mxu,
         "numerics_guard": sec_numerics_guard,
@@ -813,11 +1018,16 @@ def main():
     ap.add_argument("--batch", type=int, default=65536)
     ap.add_argument("--t", type=int, default=500, help="rollout length")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="independent timing repetitions; headline value "
+                         "is their median (band in the JSON line)")
     ap.add_argument("--block-b", type=int, default=2048,
                     help="Pallas kernel batch block size")
     args = ap.parse_args()
     if args.batch < 1 or args.t < 1 or args.iters < 1:
         ap.error("--batch, --t, and --iters must be >= 1")
+    if args.repeats < 1:
+        ap.error("--repeats must be >= 1")
     if args.block_b < 1:
         ap.error("--block-b must be >= 1")
     args.block_b = min(args.block_b, args.batch)  # small batches: one block
@@ -835,15 +1045,21 @@ def main():
                   f"({type(e).__name__}: {e})", file=sys.stderr)
     path = "pallas_vmem"
     try:
-        steps_per_sec, elapsed = run_pallas(
-            batch=args.batch, T=args.t, iters=args.iters, block_b=args.block_b
+        runs = run_pallas(
+            batch=args.batch, T=args.t, iters=args.iters,
+            block_b=args.block_b, repeats=args.repeats,
         )
+        sps_runs = sorted(r[0] for r in runs)
     except Exception as e:  # pragma: no cover - platform fallback
         print(f"[warn] pallas path failed ({type(e).__name__}: {e}); "
               "falling back to XLA scan", file=sys.stderr)
         steps_per_sec, elapsed = run(batch=args.batch, T=args.t,
                                      iters=args.iters)
+        sps_runs = [steps_per_sec]
         path = "xla_scan_fallback"
+    # Median of the repeated measurements is the reproducible headline;
+    # the min..max band quantifies the tunnel's run-to-run spread.
+    steps_per_sec = statistics.median(sps_runs)
     print(
         json.dumps(
             {
@@ -852,6 +1068,9 @@ def main():
                 "unit": "6dof_rk4_steps/s",
                 "vs_baseline": steps_per_sec / BASELINE_STEPS_PER_SEC,
                 "path": path,
+                "repeats": len(sps_runs),
+                "band_low": sps_runs[0],
+                "band_high": sps_runs[-1],
             }
         )
     )

@@ -30,15 +30,23 @@ _NORM_EPS = 1e-12  # matches ops.quaternion._NORM_EPS
 
 def _normalize_q_rows(qw, qx, qy, qz):
     """Row-wise quat normalize with the identity fallback of
-    ``ops.quaternion.quat_normalize``."""
-    n = jnp.sqrt(qw * qw + qx * qx + qy * qy + qz * qz)
-    small = n < _NORM_EPS
-    inv = 1.0 / jnp.where(small, 1.0, n)
+    ``ops.quaternion.quat_normalize``.
+
+    One ``rsqrt`` on the squared norm instead of ``sqrt`` + ``div``
+    (round-5 A/B: the sqrt->div serial pair headed every RHS entry, 5x
+    per RK4 step); the fallback is expressed as a masked inverse (0 for
+    small norms, so qx*inv vanishes) plus an additive indicator on qw —
+    3 selects/compares instead of 6, same results as the sqrt/div form
+    to f32 rounding (kernel parity tests unchanged at atol 2e-5)."""
+    n2 = qw * qw + qx * qx + qy * qy + qz * qz
+    small = n2 < _NORM_EPS * _NORM_EPS
+    inv = jnp.where(small, 0.0, jax.lax.rsqrt(n2))
+    one_if_small = jnp.where(small, 1.0, 0.0)
     return (
-        jnp.where(small, 1.0, qw * inv),
-        jnp.where(small, 0.0, qx * inv),
-        jnp.where(small, 0.0, qy * inv),
-        jnp.where(small, 0.0, qz * inv),
+        qw * inv + one_if_small,
+        qx * inv,
+        qy * inv,
+        qz * inv,
     )
 
 
