@@ -71,6 +71,43 @@ def test_quat_endpoint_eval_matches_scan(rng):
         np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
+def test_normalize_rows_fallback_and_parity(rng):
+    """The kernel's rsqrt-form normalize (round 5) matches the library's
+    sqrt/div ``quat_normalize`` to f32 rounding and keeps its exact
+    identity fallback for sub-eps norms."""
+    from bluerov2_dynamics_tpu.ops.pallas_quat import _normalize_q_rows
+    from bluerov2_dynamics_tpu.ops.quaternion import quat_normalize
+
+    q = jnp.asarray(rng.normal(size=(64, 4)) * 2.0, jnp.float32)
+    got = jnp.stack(_normalize_q_rows(q[:, 0], q[:, 1], q[:, 2], q[:, 3]), 1)
+    want = quat_normalize(q)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-7)
+
+    tiny = jnp.zeros((3, 4), jnp.float32).at[1].set(1e-20).at[2, 0].set(1.0)
+    got = jnp.stack(
+        _normalize_q_rows(tiny[:, 0], tiny[:, 1], tiny[:, 2], tiny[:, 3]), 1)
+    # zero and sub-eps norms -> identity quaternion; unit stays unit
+    np.testing.assert_array_equal(
+        np.asarray(got),
+        np.array([[1, 0, 0, 0], [1, 0, 0, 0], [1, 0, 0, 0]], np.float32))
+
+
+def test_quat_mix_peak_audit_matches_kernel_budget():
+    """The bench mix-peak microbenchmark emits EXACTLY the quat13 kernel
+    step's audited slots/div/sqrt/cheap budget (the assertion inside
+    measure_quat_mix_peak), and runs in interpret mode."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    oc = bench.quat_step_op_counts()
+    sps, emitted = bench.measure_quat_mix_peak(
+        oc, rows=8, iters=2, calls=1, interpret=True)
+    for key in ("slots", "div", "sqrt", "cheap"):
+        assert emitted[key] == oc[key]
+    assert np.isfinite(sps) and sps > 0
+
+
 def test_quat_no_renormalize_matches_scan(rng):
     """renormalize=False parity (the canonical step's compat flag)."""
     dt = 0.02
