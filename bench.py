@@ -971,7 +971,7 @@ def run_full(only: str | None = None):
                         chained_steps_per_sec(f, X0, n_start * H, iters)[1]
                         for _ in range(3)
                     ]
-                    warm = float(np.median(times))
+                    warm = float(statistics.median(times))
                     rows.append((
                         f"window_{name}_n{n_start}_blk{bb}_warm_s",
                         warm,

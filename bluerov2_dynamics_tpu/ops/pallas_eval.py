@@ -157,7 +157,7 @@ def make_endpoint_final_pallas(
     dt: float,
     H: int,
     method: str = "rk4",
-    block_b: int = 512,
+    block_b: int = 1024,
     interpret: bool = False,
     use_lag: bool = True,
 ):
@@ -167,6 +167,13 @@ def make_endpoint_final_pallas(
     returns the ``(N-H, 12)`` endpoint states of all sliding-window
     rollouts (fresh zero lag state per start).  Feed into
     ``rmse(X[H:], final)`` for the metric.
+
+    ``block_b=1024`` from the round-5 chained on-chip sweep
+    (``bench.py --section window_blocks``, H=100): 3.2/4.6/**5.8**/5.7/
+    4.9 e8 steps/s at 256/512/1024/2048/4096 on 8.2k starts and
+    3.6/5.1/**6.7**/6.8/6.0 e8 on 36.9k starts — the lag scratch
+    ((3, 8, b) per block) makes larger blocks VMEM-heavier than the
+    wrench/quat kernels, which prefer 4096.
     """
     kernel = _make_thruster_window_kernel(p, cfg, lag, dt, method, use_lag)
     return make_window_eval_fn(
@@ -182,7 +189,7 @@ def make_endpoint_final_pallas_wrench(
     dt: float,
     H: int,
     method: str = "rk4",
-    block_b: int = 512,
+    block_b: int = 4096,
     interpret: bool = False,
 ):
     """Build ``fn(X, TAU) -> final_states`` for the WRENCH-input model.
@@ -194,6 +201,12 @@ def make_endpoint_final_pallas_wrench(
     filter, no lag scratch.  ``X``: ``(N, 12)``; ``TAU``: ``(N, 6)``;
     returns the ``(N-H, 12)`` endpoint states.  RK4 stages run on the
     row representation (see :func:`_make_thruster_window_kernel`).
+
+    ``block_b=4096`` from the round-5 chained on-chip sweep (H=100):
+    3.6/5.0/5.1/6.2/**6.8** e8 steps/s at 256/512/1024/2048/4096 on
+    8.2k starts; 3.9/6.7/10.3/10.8/**10.7** e8 on 36.9k starts (2048
+    ties within the tunnel band at the large shape, 4096 wins +9% at
+    the small one).
     """
     kernel = _make_wrench_window_kernel(p, dt, method)
     return make_window_eval_fn(
@@ -244,7 +257,7 @@ def make_batched_rollout_pallas(
     lag: LagParams,
     dt: float,
     method: str = "rk4",
-    block_b: int = 512,
+    block_b: int = 1024,
     interpret: bool = False,
     use_lag: bool = True,
 ):

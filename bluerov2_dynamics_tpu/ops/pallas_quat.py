@@ -32,12 +32,16 @@ def _normalize_q_rows(qw, qx, qy, qz):
     """Row-wise quat normalize with the identity fallback of
     ``ops.quaternion.quat_normalize``.
 
-    One ``rsqrt`` on the squared norm instead of ``sqrt`` + ``div``
-    (round-5 A/B: the sqrt->div serial pair headed every RHS entry, 5x
-    per RK4 step); the fallback is expressed as a masked inverse (0 for
-    small norms, so qx*inv vanishes) plus an additive indicator on qw —
-    3 selects/compares instead of 6, same results as the sqrt/div form
-    to f32 rounding (kernel parity tests unchanged at atol 2e-5)."""
+    One ``rsqrt`` on the squared norm instead of ``sqrt`` + ``div``;
+    the fallback is expressed as a masked inverse (0 for small norms, so
+    qx*inv vanishes) plus an additive indicator on qw — 3 selects/
+    compares instead of 6, same results as the sqrt/div form to f32
+    rounding (kernel parity tests unchanged at atol 2e-5).  Audited
+    step budget drops 872+5div+5sqrt+62cheap -> 877+5rsqrt+47cheap; an
+    interleaved on-chip A/B of the two forms was NOT separable from the
+    tunnel's run-to-run spread (medians 1.76 vs 1.84 e9, trials
+    1.44-2.10 e9 both ways) — the form is kept for the smaller op
+    budget and the measured-ceiling accounting, not a claimed speedup."""
     n2 = qw * qw + qx * qx + qy * qy + qz * qz
     small = n2 < _NORM_EPS * _NORM_EPS
     inv = jnp.where(small, 0.0, jax.lax.rsqrt(n2))
@@ -158,7 +162,7 @@ def make_endpoint_final_pallas_quat(
     dt: float,
     H: int,
     method: str = "euler",
-    block_b: int = 512,
+    block_b: int = 4096,
     interpret: bool = False,
     renormalize: bool = True,
 ):
@@ -168,6 +172,10 @@ def make_endpoint_final_pallas_quat(
     ``(N-H, 13)`` endpoint states of all sliding-window rollouts.  Same
     VMEM structure as the euler evaluators (grid (blocks, H), state in
     scratch persisting over the time dimension, pre-shifted inputs).
+
+    ``block_b=4096`` from the round-5 chained on-chip sweep (H=100):
+    6.4/7.6/7.7/6.0/**10.2** e8 steps/s at 256/512/1024/2048/4096 on
+    8.2k starts; 7.7/12.1/14.5/14.0/**18.3** e8 on 36.9k starts.
     """
     from bluerov2_dynamics_tpu.ops.pallas_eval import make_window_eval_fn
 
