@@ -575,6 +575,8 @@ def run_full(only: str | None = None):
         BENCH_r*.json can tell a crashed section from a never-run one."""
         if only is not None and name != only:
             return
+        if only is None and name in explicit_only:
+            return  # sweep-length sections run only via --section NAME
         try:
             fn()
         except Exception as e:  # pragma: no cover - platform fallback
@@ -978,6 +980,10 @@ def run_full(only: str | None = None):
                         f"s/call ({n_start * H / warm:.3e} steps/s)",
                         None))
 
+    # window_blocks is a ~12-minute 30-compile tuning sweep: kept out of
+    # the default --full pass (its result is a committed DEFAULT, not a
+    # per-round measurement); rerun explicitly when retuning.
+    explicit_only = {"window_blocks"}
     sections = {
         "roofline": sec_roofline,
         "quat_rollout": sec_quat_rollout,

@@ -39,13 +39,15 @@ def test_bench_cli_rejects_bad_args():
 
 def test_quat_step_op_counts_audit():
     """The quat13 op audit returns machine-counted classes with the
-    expected structure (trig-free; 5 normalizes per RK4 step -> 5 div +
-    5 sqrt; slots <= flops; everything positive)."""
+    expected structure (trig-free; 5 normalizes per RK4 step, each one
+    rsqrt on ||q||^2 — the round-5 rsqrt form, no divides; slots <=
+    flops; everything positive)."""
     import bench
 
     oc = bench.quat_step_op_counts()
     assert set(oc) == {"flops", "div", "sqrt", "cheap", "slots"}
-    assert oc["div"] == 5 and oc["sqrt"] == 5  # 4 RHS + 1 post-step norm
+    # 4 RHS + 1 post-step normalize; rsqrt lands in the sqrt bucket
+    assert oc["div"] == 0 and oc["sqrt"] == 5
     assert 500 < oc["flops"] < 1500
     assert 0 < oc["slots"] < oc["flops"]
     # trig-free claim is auditable: no sin/cos in the counts by construction

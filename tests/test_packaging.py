@@ -47,7 +47,7 @@ def test_every_gated_import_has_a_declared_dependency():
                  "sklearn": "scikit-learn"}
     missing = {
         mod for mod in third_party
-        if dist_name.get(mod, mod).lower() not in declared
+        if dist_name.get(mod.lower(), mod).lower() not in declared
     }
     assert not missing, (
         f"gated imports with no core dep or extra in pyproject.toml: "
