@@ -912,16 +912,23 @@ def run_full(only: str | None = None):
 
     def sec_window_blocks():
         # CHAINED block_b sweep for the sliding-window evaluator family
-        # (thruster-euler12 / wrench-euler12 / quat13) at the tank
-        # workload shape (H=100; ~9k and ~37k rollout starts) — the sweep
-        # the round-4 VERDICT asked for (weak-item 3): the 512 default was
-        # never separated from dispatch noise.  Slope timing proved too
-        # noisy for these sub-10 ms kernels (it produced >speed-of-light
-        # readings), so this uses the headline rollout's discipline
-        # instead: each call's X depends on the previous call's output
-        # through a vanishing perturbation (X0 + 1e-20*finals), which
-        # chains the device stream exactly like the rollout benchmark
-        # while keeping the numeric state constant.  Median of 3 regions.
+        # (thruster-euler12 / wrench-euler12 / quat13) at the REAL tank
+        # workload shapes (H=100; 9,165 starts = the recording's test
+        # split, 44,800 = the full-recording scale) — the sweep the
+        # round-4 VERDICT asked for (weak-item 3): the 512 default was
+        # never separated from dispatch noise.  The start counts are
+        # deliberately NOT multiples of the candidate blocks: the kernel
+        # pads n_start up to a block multiple, so the steps/s printed
+        # here (real_starts*H / time) is USEFUL throughput with the
+        # padding waste priced in (at 9,165 starts, block 4096 runs 34%
+        # dead rows; an earlier sweep at multiple-of-4096 shapes hid
+        # that).  Slope timing proved too noisy for these sub-10 ms
+        # kernels (it produced >speed-of-light readings), so this uses
+        # the headline rollout's discipline instead: each call's X
+        # depends on the previous call's output through a vanishing
+        # perturbation (X0 + 1e-20*finals), which chains the device
+        # stream exactly like the rollout benchmark while keeping the
+        # numeric state constant.  Median of 3 regions.
         from bluerov2_dynamics_tpu.models.params import (
             fossen_params,
             lag_params,
@@ -940,9 +947,9 @@ def run_full(only: str | None = None):
         cfg = thruster_config()
         lag = lag_params(dt)
         key = jax.random.PRNGKey(0)
-        for n_start in (8192, 36864):
+        for n_start in (9165, 44800):
             N = n_start + H
-            iters = 60 if n_start == 8192 else 20
+            iters = 60 if n_start == 9165 else 20
             ks = jax.random.split(key, 4)
             X12 = 0.1 * jax.random.normal(ks[0], (N, 12), jnp.float32)
             U8 = jnp.clip(0.5 * jax.random.normal(ks[1], (N, 8), jnp.float32),

@@ -302,6 +302,22 @@ def timed_metric_table(
     return rmses, times
 
 
+def json_sanitize(obj):
+    """Recursively replace non-finite floats with ``None`` so the result
+    is valid STRICT JSON (``json.dumps`` happily emits bare ``NaN`` /
+    ``Infinity`` tokens that ``jq`` / ``JSON.parse`` reject).  The slope
+    timer (`eval/timing.time_fn_slope`) deliberately returns NaN when a
+    tunnel hiccup makes the measured slope non-positive — that sentinel
+    must land in ``--json-out`` run records as ``null``, not break them."""
+    if isinstance(obj, dict):
+        return {k: json_sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [json_sanitize(v) for v in obj]
+    if isinstance(obj, float) and not np.isfinite(obj):
+        return None
+    return obj
+
+
 def print_rollout_timings(timings: Dict[str, tuple]):
     """``timings``: name -> (cold_seconds, warm_seconds)."""
     print("\n[timings] Open-loop rollout time:")

@@ -226,7 +226,11 @@ def main(argv=None):
             "backend": jax.default_backend(),
         }
         Path(args.json_out).parent.mkdir(parents=True, exist_ok=True)
-        Path(args.json_out).write_text(json.dumps(payload, indent=1))
+        # sanitize: a slope-timer NaN sentinel must serialize as null,
+        # not as a bare NaN token that strict JSON parsers reject
+        Path(args.json_out).write_text(
+            json.dumps(common.json_sanitize(payload), indent=1,
+                       allow_nan=False))
         ok(f"Wrote JSON run record -> {args.json_out}")
 
     # ---------------- open-loop rollouts (timed) ----------------

@@ -477,9 +477,12 @@ def validate_against_metadata(bag_path, topics: BagTopics = BagTopics(),
         if t.message_count == 0:
             entry["issues"].append("0 messages")
         elif entry["rate_hz"] < hz:
+            # whole-recording mean: metadata has no per-topic start/end
+            # time, so a late-starting topic under-reports its live rate
             entry["issues"].append(
-                f"rate {entry['rate_hz']:.1f} Hz below the {hz:.0f} Hz "
-                "resample target")
+                f"whole-recording mean rate {entry['rate_hz']:.1f} Hz "
+                f"below the {hz:.0f} Hz resample target (may just start "
+                "late/stop early)")
         if entry["issues"]:
             warn(f"{field.name}: {name} -> " + "; ".join(entry["issues"]))
         else:

@@ -150,7 +150,12 @@ class BagMetadata:
                        f"({len(self.topics)} topics)")
 
     def rate_hz(self, name: str) -> float:
-        """Mean message rate of ``name`` over the recording duration."""
+        """Mean message rate of ``name`` over the WHOLE recording
+        duration.  rosbag2 metadata has no per-topic start/end time, so
+        a topic that starts late or stops early reports a lower mean
+        than its live publishing rate — treat values near a threshold as
+        a hint, not a verdict (``validate_against_metadata`` words its
+        warning accordingly)."""
         return self.topic(name).message_count / max(self.duration_s, 1e-9)
 
 

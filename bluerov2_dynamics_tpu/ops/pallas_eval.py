@@ -169,11 +169,13 @@ def make_endpoint_final_pallas(
     ``rmse(X[H:], final)`` for the metric.
 
     ``block_b=1024`` from the round-5 chained on-chip sweep
-    (``bench.py --section window_blocks``, H=100): 3.2/4.6/**5.8**/5.7/
-    4.9 e8 steps/s at 256/512/1024/2048/4096 on 8.2k starts and
-    3.6/5.1/**6.7**/6.8/6.0 e8 on 36.9k starts — the lag scratch
-    ((3, 8, b) per block) makes larger blocks VMEM-heavier than the
-    wrench/quat kernels, which prefer 4096.
+    (``bench.py --section window_blocks``, H=100) at the REAL app
+    shapes, so the padding to a block multiple is priced in (9,165
+    starts pad 34% dead rows at block 4096): useful steps/s
+    3.4/5.1/**6.6**/6.4/4.9 e8 at 256/512/1024/2048/4096 on 9,165
+    starts and 3.6/5.7/**7.3**/7.1/6.7 e8 on 44,800 — 1024 wins both
+    shapes (the (3, 8, b) lag scratch makes larger blocks VMEM-heavier
+    than the wrench/quat kernels).
     """
     kernel = _make_thruster_window_kernel(p, cfg, lag, dt, method, use_lag)
     return make_window_eval_fn(
@@ -189,7 +191,7 @@ def make_endpoint_final_pallas_wrench(
     dt: float,
     H: int,
     method: str = "rk4",
-    block_b: int = 4096,
+    block_b: int = 2048,
     interpret: bool = False,
 ):
     """Build ``fn(X, TAU) -> final_states`` for the WRENCH-input model.
@@ -202,11 +204,14 @@ def make_endpoint_final_pallas_wrench(
     returns the ``(N-H, 12)`` endpoint states.  RK4 stages run on the
     row representation (see :func:`_make_thruster_window_kernel`).
 
-    ``block_b=4096`` from the round-5 chained on-chip sweep (H=100):
-    3.6/5.0/5.1/6.2/**6.8** e8 steps/s at 256/512/1024/2048/4096 on
-    8.2k starts; 3.9/6.7/10.3/10.8/**10.7** e8 on 36.9k starts (2048
-    ties within the tunnel band at the large shape, 4096 wins +9% at
-    the small one).
+    ``block_b=2048`` from the round-5 chained on-chip sweep (H=100) at
+    the REAL app shapes (padding priced in — an earlier sweep at
+    block-multiple shapes hid it and picked 4096, which loses 14% at
+    9,165 starts): useful steps/s 3.8/6.5/**9.0**/8.7/7.7 e8 at
+    256/512/1024/2048/4096 on 9,165 starts; 4.2/7.2/11.2/12.1/**13.0**
+    e8 on 44,800.  The per-shape optima differ (1024 small, 4096
+    large); 2048 is the minimax-regret single default, within 3-7% of
+    the best at both shapes.
     """
     kernel = _make_wrench_window_kernel(p, dt, method)
     return make_window_eval_fn(

@@ -162,7 +162,7 @@ def make_endpoint_final_pallas_quat(
     dt: float,
     H: int,
     method: str = "euler",
-    block_b: int = 4096,
+    block_b: int = 2048,
     interpret: bool = False,
     renormalize: bool = True,
 ):
@@ -173,9 +173,14 @@ def make_endpoint_final_pallas_quat(
     VMEM structure as the euler evaluators (grid (blocks, H), state in
     scratch persisting over the time dimension, pre-shifted inputs).
 
-    ``block_b=4096`` from the round-5 chained on-chip sweep (H=100):
-    6.4/7.6/7.7/6.0/**10.2** e8 steps/s at 256/512/1024/2048/4096 on
-    8.2k starts; 7.7/12.1/14.5/14.0/**18.3** e8 on 36.9k starts.
+    ``block_b=2048`` from the round-5 chained on-chip sweep (H=100) at
+    the REAL app shapes (padding to a block multiple priced in — an
+    earlier sweep at block-multiple shapes hid it and picked 4096,
+    which loses 23% at 44,800 starts): useful steps/s
+    6.1/10.0/10.3/13.4/**13.9** e8 at 256/512/1024/2048/4096 on 9,165
+    starts; 8.6/13.5/16.8/**22.6**/18.4 e8 on 44,800.  The per-shape
+    optima differ (4096 small by +4%, 2048 large by +23%); 2048 is the
+    minimax-regret single default.
     """
     from bluerov2_dynamics_tpu.ops.pallas_eval import make_window_eval_fn
 

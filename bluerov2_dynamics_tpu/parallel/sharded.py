@@ -243,7 +243,7 @@ def shardmap_endpoint_rmse_pallas_wrench(
     dt: float,
     H: int,
     method: str = "rk4",
-    block_b: int = 4096,
+    block_b: int = 2048,
     interpret: bool = False,
     data_axis: str = "data",
 ):
@@ -272,7 +272,7 @@ def shardmap_endpoint_rmse_pallas_quat(
     dt: float,
     H: int,
     method: str = "euler",
-    block_b: int = 4096,
+    block_b: int = 2048,
     interpret: bool = False,
     renormalize: bool = True,
     data_axis: str = "data",

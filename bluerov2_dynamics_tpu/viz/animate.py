@@ -175,23 +175,33 @@ def _save_gif_fast(tf: _TopdownFigure, save_path, fps: int,
     from PIL import Image
 
     background = tf.snapshot_background()
-    frames = []
+    TRANS = 255  # palette has 255 real colours; index 255 is the delta key
+    # Streaming: quantize each frame as it is rendered and delta it
+    # against only the previous index array, so the full-resolution RGB
+    # buffers never accumulate (a 500-frame 6-panel GIF would otherwise
+    # hold ~5 GB of RGBA/RGB/index copies at once); only the palettized
+    # output frames — 1 byte/px — stay alive for the final save.
+    base = palette = prev = None
+    out = []
     for i in range(0, tf.T, frame_step):
         rgba = tf.render_frame_blit(i, background)
-        frames.append(Image.fromarray(rgba[..., :3]))
-    TRANS = 255  # palette has 255 real colours; index 255 is the delta key
-    base = frames[0].quantize(colors=255, method=Image.Quantize.MEDIANCUT)
-    palette = base.getpalette()
-    quantized = [f.quantize(palette=base, dither=Image.Dither.NONE)
-                 for f in frames]
-    arrs = np.stack([np.asarray(f) for f in quantized])
-    deltas = arrs[1:].copy()
-    deltas[arrs[1:] == arrs[:-1]] = TRANS
-    out = [quantized[0]]
-    for a in deltas:
-        im = Image.fromarray(a, mode="P")
-        im.putpalette(palette)
-        out.append(im)
+        frame = Image.fromarray(rgba[..., :3])
+        if base is None:
+            # median cut on the first frame, which already shows every
+            # panel colour + the background
+            base = frame.quantize(colors=255, method=Image.Quantize.MEDIANCUT)
+            palette = base.getpalette()
+        q = frame.quantize(palette=base, dither=Image.Dither.NONE)
+        a = np.asarray(q)
+        if prev is None:
+            out.append(q)
+        else:
+            d = a.copy()
+            d[a == prev] = TRANS
+            im = Image.fromarray(d, mode="P")
+            im.putpalette(palette)
+            out.append(im)
+        prev = a
     duration_ms = max(int(round(1000.0 * frame_step / max(fps, 1))), 20)
     out[0].save(
         save_path, save_all=True, append_images=out[1:],

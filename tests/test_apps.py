@@ -160,6 +160,27 @@ def test_flagship_json_out(tmp_path, capsys):
     assert {"dataset", "fit_seconds_warm", "rmse", "metric_seconds_warm",
             "backend"} <= set(d)
     assert "Koopman" in d["rmse"] and len(d["rmse"]["Koopman"]) == 3
+    # strict JSON: no bare NaN/Infinity tokens (the slope timer's NaN
+    # sentinel must serialize as null) — parse_constant raises on any
+    json.loads(out_path.read_text(),
+               parse_constant=lambda c: (_ for _ in ()).throw(
+                   AssertionError(f"non-strict JSON token {c!r}")))
+
+
+def test_json_sanitize_maps_nonfinite_to_null():
+    """common.json_sanitize turns NaN/inf anywhere in a nested record
+    into None so --json-out artifacts are strict JSON (jq/JSON.parse
+    parseable) even when a tunnel hiccup made a slope timing NaN."""
+    import json
+
+    from bluerov2_dynamics_tpu.apps import common
+
+    rec = {"a": float("nan"), "b": [1.0, float("inf"), {"c": -float("inf")}],
+           "d": "keep", "e": 2, "f": (3.5, float("nan"))}
+    out = common.json_sanitize(rec)
+    assert out == {"a": None, "b": [1.0, None, {"c": None}],
+                   "d": "keep", "e": 2, "f": [3.5, None]}
+    json.dumps(out, allow_nan=False)  # must not raise
 
 
 def test_pinc_checkpoint_sidecar_overrides_flags(tmp_path, capsys):
