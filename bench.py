@@ -365,6 +365,27 @@ def measure_quat_mix_peak(oc=None, rows: int = 128, iters: int = 4096,
     return sps, emitted_oc
 
 
+def _iter_eqns(jx):
+    """Yield every equation of ``jx`` and of all nested sub-jaxprs.
+
+    One traversal for every jaxpr audit in this file.  Descends into
+    scan/closed-call bodies (``params['jaxpr']``), cond branches
+    (``params['branches']``) AND while-loop bodies
+    (``params['cond_jaxpr']``/``['body_jaxpr']``) — the earlier
+    per-audit walkers skipped while_p, so any op inside a
+    ``lax.while_loop`` was silently counted as zero.
+    """
+    for eqn in jx.eqns:
+        yield eqn
+        for key in ("jaxpr", "cond_jaxpr", "body_jaxpr"):
+            if key in eqn.params:
+                inner = eqn.params[key]
+                yield from _iter_eqns(getattr(inner, "jaxpr", inner))
+        if "branches" in eqn.params:
+            for br in eqn.params["branches"]:
+                yield from _iter_eqns(getattr(br, "jaxpr", br))
+
+
 def _vector_op_buckets(fn, *args):
     """Jaxpr-audited VECTOR op-class counts of ``fn(*args)`` (scalar-only
     ops excluded), bucketed the way the issue-slot model prices them.
@@ -379,19 +400,9 @@ def _vector_op_buckets(fn, *args):
 
     jaxpr = jax.make_jaxpr(fn)(*args)
     c = Counter()
-
-    def count(jx):
-        for eqn in jx.eqns:
-            if getattr(eqn.outvars[0].aval, "shape", ()):  # vector ops only
-                c[eqn.primitive.name] += 1
-            if "jaxpr" in eqn.params:
-                inner = eqn.params["jaxpr"]
-                count(getattr(inner, "jaxpr", inner))
-            if "branches" in eqn.params:
-                for br in eqn.params["branches"]:
-                    count(getattr(br, "jaxpr", br))
-
-    count(jaxpr.jaxpr)
+    for eqn in _iter_eqns(jaxpr.jaxpr):
+        if getattr(eqn.outvars[0].aval, "shape", ()):  # vector ops only
+            c[eqn.primitive.name] += 1
     muls, adds = c["mul"], c["add"] + c["sub"]
     cheap = c["abs"] + c["neg"] + c["select_n"] + c["lt"] + c["gt"] + c["max"]
     return {
@@ -487,20 +498,8 @@ def step_trig_count(method: str = "rk4"):
         tuple(jnp.float32(0) for _ in range(6)),
     )
 
-    def count(jaxpr):
-        n = 0
-        for eqn in jaxpr.eqns:
-            if eqn.primitive.name in ("sin", "cos"):
-                n += 1
-            if "jaxpr" in eqn.params:
-                inner = eqn.params["jaxpr"]
-                n += count(getattr(inner, "jaxpr", inner))
-            if "branches" in eqn.params:
-                for br in eqn.params["branches"]:
-                    n += count(getattr(br, "jaxpr", br))
-        return n
-
-    return count(jaxpr.jaxpr)
+    return sum(eqn.primitive.name in ("sin", "cos")
+               for eqn in _iter_eqns(jaxpr.jaxpr))
 
 
 def run_soa(batch: int = 65536, T: int = 500, iters: int = 3,
@@ -913,8 +912,10 @@ def run_full(only: str | None = None):
     def sec_window_blocks():
         # CHAINED block_b sweep for the sliding-window evaluator family
         # (thruster-euler12 / wrench-euler12 / quat13) at the REAL tank
-        # workload shapes (H=100; 9,165 starts = the recording's test
-        # split, 44,800 = the full-recording scale) — the sweep the
+        # workload shapes (H=100; 9,165 = the recording's test-split ROW
+        # count — the app's evaluator actually runs rows-H = 9,065
+        # starts, an identical padding class <1.1% away — and 44,800 =
+        # the full-recording scale) — the sweep the
         # round-4 VERDICT asked for (weak-item 3): the 512 default was
         # never separated from dispatch noise.  The start counts are
         # deliberately NOT multiples of the candidate blocks: the kernel
@@ -949,7 +950,7 @@ def run_full(only: str | None = None):
         key = jax.random.PRNGKey(0)
         for n_start in (9165, 44800):
             N = n_start + H
-            iters = 60 if n_start == 9165 else 20
+            iters = 60 if n_start < 20_000 else 20  # small/fast shapes need more iters to beat dispatch noise
             ks = jax.random.split(key, 4)
             X12 = 0.1 * jax.random.normal(ks[0], (N, 12), jnp.float32)
             U8 = jnp.clip(0.5 * jax.random.normal(ks[1], (N, 8), jnp.float32),

@@ -171,7 +171,9 @@ def make_endpoint_final_pallas(
     ``block_b=1024`` from the round-5 chained on-chip sweep
     (``bench.py --section window_blocks``, H=100) at the REAL app
     shapes, so the padding to a block multiple is priced in (9,165
-    starts pad 34% dead rows at block 4096): useful steps/s
+    starts — the test split's row count; the app itself runs rows-H =
+    9,065 starts, an identical padding class — pad 34% dead rows at
+    block 4096): useful steps/s
     3.4/5.1/**6.6**/6.4/4.9 e8 at 256/512/1024/2048/4096 on 9,165
     starts and 3.6/5.7/**7.3**/7.1/6.7 e8 on 44,800 — 1024 wins both
     shapes (the (3, 8, b) lag scratch makes larger blocks VMEM-heavier

@@ -53,6 +53,27 @@ def test_quat_step_op_counts_audit():
     # trig-free claim is auditable: no sin/cos in the counts by construction
 
 
+def test_jaxpr_walker_descends_into_while_loops():
+    """The shared jaxpr walker must count ops inside lax.while_loop
+    bodies (params cond_jaxpr/body_jaxpr) — the earlier per-audit
+    walkers skipped them, silently undercounting any audited budget
+    that ever contained one."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    import bench
+
+    def f(x):
+        return lax.while_loop(
+            lambda c: c[1] < 3,
+            lambda c: (jnp.sin(c[0]) * 2.0 + 1.0, c[1] + 1),
+            (x, 0),
+        )[0]
+
+    oc = bench._vector_op_buckets(f, jnp.zeros((8,), jnp.float32))
+    assert oc["flops"] == 2  # the mul and add inside the body
+
+
 def test_time_fn_slope_cancels_constant_overhead():
     """The slope method recovers per-call compute time with a constant
     per-call overhead subtracted (simulated dispatch floor)."""
