@@ -601,6 +601,21 @@ def run_full(only: str | None = None):
         )
         rows.append(("koopman_h100_eval_seconds", t_k, "s", 41.2 / t_k))
 
+        # device-bound companion row: the wall-time row above carries the
+        # tunnel's ~60-120 ms dispatch floor (it measured 0.060-0.112 s
+        # for the same work on different days); this one chains calls
+        # through a vanishing data dependency so it times the device.
+        Xk, Uk = X[split:], U[split:]
+
+        @jax.jit
+        def chained_k(Xc):
+            r = koopman.multistep_rmse(model, Xc, Uk, 100)
+            return Xc.at[0, 0].add(1e-20 * r)
+
+        _, t_kd = chained_steps_per_sec(chained_k, Xk, 1, 10)
+        rows.append(("koopman_h100_eval_device_seconds", t_kd,
+                     "s/call (chained)", 41.2 / t_kd))
+
     def sec_fossen_eval():
         X, U = dataset()
         p, cfg, lag = fossen_params(), thruster_config(), lag_params(dt)
@@ -609,6 +624,18 @@ def run_full(only: str | None = None):
         run_f = jax.jit(lambda X, U: rmse(X[100:].astype(jnp.float32), fe(X, U)))
         _, t_f = time_fn(run_f, X[split:], U[split:], warmup=1, iters=3)
         rows.append(("fossen_h100_eval_seconds", t_f, "s", 1246.7 / t_f))
+
+        # device-bound companion row (see koopman section for rationale)
+        Xe, Ue = X[split:], U[split:]
+
+        @jax.jit
+        def chained_f(Xc):
+            r = rmse(Xc[100:].astype(jnp.float32), fe(Xc, Ue))
+            return Xc.at[0, 0].add(1e-20 * r)
+
+        _, t_fd = chained_steps_per_sec(chained_f, Xe, 1, 20)
+        rows.append(("fossen_h100_eval_device_seconds", t_fd,
+                     "s/call (chained)", 1246.7 / t_fd))
 
     def sec_layouts():
         soa_sps, _ = run_soa()

@@ -91,15 +91,29 @@ def test_dryrun_multichip_after_backend_init():
     )
 
 
+def _cpu_env() -> dict:
+    """Env for subprocesses that are MEANT to run on CPU.  The axon TPU
+    plugin does not honor JAX_PLATFORMS=cpu as an env var (CLAUDE.md), so
+    with /root/.axon_site on PYTHONPATH these "CPU" subprocesses were
+    actually initializing the tunneled TPU — and hung the suite whenever
+    the tunnel was down.  Strip the plugin's site dir from PYTHONPATH so
+    CPU means CPU and the tests are independent of tunnel health."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    parts = [q for q in env.get("PYTHONPATH", "").split(os.pathsep)
+             if q and ".axon_site" not in q]
+    env["PYTHONPATH"] = os.pathsep.join(parts)
+    return env
+
+
 def test_bench_prints_exactly_one_json_line():
     """Driver contract: `python bench.py` prints exactly ONE JSON line on
     stdout (warnings/fallback notes go to stderr).  Run on CPU at tiny
     sizes; the driver runs the same file on the real TPU."""
     import json
 
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)
-    env["JAX_PLATFORMS"] = "cpu"
+    env = _cpu_env()
     proc = subprocess.run(
         [sys.executable, "bench.py", "--batch", "256", "--t", "20",
          "--iters", "1"],
@@ -118,9 +132,7 @@ def test_bench_section_cli():
     this off the device) and rejects unknown names."""
     import json
 
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)
-    env["JAX_PLATFORMS"] = "cpu"
+    env = _cpu_env()
     proc = subprocess.run(
         [sys.executable, "bench.py", "--section", "ingest"],
         cwd=str(REPO), env=env, capture_output=True, text=True, timeout=1200,
