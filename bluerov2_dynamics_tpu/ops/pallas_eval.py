@@ -98,6 +98,31 @@ def _make_thruster_window_kernel(
     return kernel
 
 
+def window_pallas_call(kernel, n_state: int, n_in: int, bb: int,
+                       n_pad: int, H: int, scratch_shapes, interpret: bool):
+    """The pallas_call of the sliding-window evaluator — ONE copy of the
+    grid/BlockSpec layout shared by the single-device driver below and
+    the shard_map composition in ``parallel/sharded.py`` (which differs
+    only in how it slices its shifted inputs).  Takes ``u_shift``
+    ``(H, n_in, n_pad)`` and ``x0`` ``(n_state, n_pad)``; returns the
+    ``(n_state, n_pad)`` endpoint states."""
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_state, n_pad), jnp.float32),
+        grid=(n_pad // bb, H),
+        in_specs=[
+            pl.BlockSpec((1, n_in, bb), lambda i, t: (t, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_state, bb), lambda i, t: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_state, bb), lambda i, t: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch_shapes(bb),
+        interpret=interpret,
+    )
+
+
 def make_window_eval_fn(kernel, n_state: int, n_in: int, H: int,
                         block_b: int, scratch_shapes, interpret: bool):
     """Shared sliding-window driver for the endpoint-evaluator kernels.
@@ -117,6 +142,17 @@ def make_window_eval_fn(kernel, n_state: int, n_in: int, H: int,
         N = X.shape[0]
         n_start = N - H
         assert n_start > 0, f"horizon H={H} >= dataset length {N}"
+        # shape validation: the BlockSpecs below would otherwise silently
+        # truncate a too-wide U/X (e.g. an (N, 8) thruster-command array
+        # fed to the 6-wrench evaluator reads only its first 6 columns)
+        # and zero-pad a too-short U (tail windows integrating zero input)
+        assert X.ndim == 2 and X.shape[1] == n_state, (
+            f"X must be (N, {n_state}), got {X.shape}")
+        assert U.ndim == 2 and U.shape[1] == n_in, (
+            f"U must be (N, {n_in}), got {U.shape}")
+        assert U.shape[0] >= N, (
+            f"U has {U.shape[0]} rows < X's {N}; every window start needs "
+            f"H={H} inputs")
         n_pad = -(-n_start // block_b) * block_b
         x0 = X[:n_start].T.astype(jnp.float32)        # (n_state, n_start)
         if n_pad != n_start:
@@ -130,21 +166,8 @@ def make_window_eval_fn(kernel, n_state: int, n_in: int, H: int,
         u_shift = jnp.stack(
             [jax.lax.dynamic_slice_in_dim(ut, t, n_pad, axis=1) for t in range(H)]
         )  # (H, n_in, n_pad)
-        out = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((n_state, n_pad), jnp.float32),
-            grid=(n_pad // block_b, H),
-            in_specs=[
-                pl.BlockSpec((1, n_in, block_b), lambda i, t: (t, 0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_state, block_b), lambda i, t: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((n_state, block_b), lambda i, t: (0, i),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=scratch_shapes(block_b),
-            interpret=interpret,
-        )(u_shift, x0)
+        out = window_pallas_call(kernel, n_state, n_in, block_b, n_pad, H,
+                                 scratch_shapes, interpret)(u_shift, x0)
         return out[:, :n_start].T
 
     return fn

@@ -23,7 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from bluerov2_dynamics_tpu.models.params import FossenParams
-from bluerov2_dynamics_tpu.ops.pallas_rollout import _scalar
+from bluerov2_dynamics_tpu.ops.pallas_rollout import _make_hydro_rows
 
 _NORM_EPS = 1e-12  # matches ops.quaternion._NORM_EPS
 
@@ -58,90 +58,38 @@ def _make_rhs_quat_rows(p: FossenParams):
     """quat13 wrench-input RHS on the 13-tuple row state.
 
     Rows: ``(x, y, z, qw, qx, qy, qz, u, v, w, p, q, r)``; ``tau`` is a
-    6-sequence of scalars or (B,) vectors.  Same hydrodynamic terms as
-    the euler12 rows RHS; kinematics and restoring via the quaternion
-    (``fossen.wrench_rhs_quat``), including the constant NED current.
+    6-sequence of scalars or (B,) vectors.  Hydrodynamics shared with
+    the euler12 rows RHS via ``pallas_rollout._make_hydro_rows`` (one
+    copy of the Coriolis/damping/restoring/current terms); kinematics
+    and restoring via the quaternion (``fossen.wrench_rhs_quat``).
     """
-    mdiag = [_scalar(v) for v in p.mdiag]
-    minv = [_scalar(v) for v in p.minv]
-    added = [_scalar(v) for v in p.added]
-    gyro = [_scalar(v) for v in p.gyro]
-    d_lin = [_scalar(v) for v in p.d_lin]
-    d_quad = [_scalar(v) for v in p.d_quad]
-    W = _scalar(p.W)
-    Bf = _scalar(p.B)
-    xb, yb, zb = (_scalar(v) for v in p.cb)
-    WB = W - Bf
-    xbB, ybB, zbB = xb * Bf, yb * Bf, zb * Bf
-    Xud, Yvd, Zwd = added[0], added[1], added[2]
-    cur = [_scalar(v) for v in jnp.broadcast_to(p.current, (3,))]
-    has_current = any(c != 0.0 for c in cur)
-    cnx, cny, cnz = cur
+    hydro = _make_hydro_rows(p)
 
     def rhs(x, tau):
         qw, qx, qy, qz = _normalize_q_rows(x[3], x[4], x[5], x[6])
-        u, v, w = x[7], x[8], x[9]
-        pp, q, r = x[10], x[11], x[12]
+        nu = (x[7], x[8], x[9], x[10], x[11], x[12])
+        pp, q, r = nu[3], nu[4], nu[5]
 
         # R_{b->n}(q) entries (reused for kinematics, restoring, current)
-        r00 = 1.0 - 2.0 * (qy * qy + qz * qz)
-        r01 = 2.0 * (qx * qy - qz * qw)
-        r02 = 2.0 * (qx * qz + qy * qw)
-        r10 = 2.0 * (qx * qy + qz * qw)
-        r11 = 1.0 - 2.0 * (qx * qx + qz * qz)
-        r12 = 2.0 * (qy * qz - qx * qw)
-        r20 = 2.0 * (qx * qz - qy * qw)
-        r21 = 2.0 * (qy * qz + qx * qw)
-        r22 = 1.0 - 2.0 * (qx * qx + qy * qy)
-
-        c0 = mdiag[2] * w * q - mdiag[1] * v * r
-        c1 = -mdiag[2] * w * pp + mdiag[0] * u * r
-        c2 = mdiag[1] * v * pp - mdiag[0] * u * q
-        c3 = gyro[0] * q * r + (Yvd - Zwd) * v * w
-        c4 = gyro[1] * pp * r + (Zwd - Xud) * u * w
-        c5 = gyro[2] * pp * q + (Xud - Yvd) * u * v
-
-        if has_current:
-            # v_c^b = R^T v_c^n; nu_r on linear DOFs, damping-only
-            ur = u - (r00 * cnx + r10 * cny + r20 * cnz)
-            vr = v - (r01 * cnx + r11 * cny + r21 * cnz)
-            wr = w - (r02 * cnx + r12 * cny + r22 * cnz)
-        else:
-            ur, vr, wr = u, v, w
-        d0 = (d_lin[0] + d_quad[0] * jnp.abs(ur)) * ur
-        d1 = (d_lin[1] + d_quad[1] * jnp.abs(vr)) * vr
-        d2 = (d_lin[2] + d_quad[2] * jnp.abs(wr)) * wr
-        d3 = (d_lin[3] + d_quad[3] * jnp.abs(pp)) * pp
-        d4 = (d_lin[4] + d_quad[4] * jnp.abs(q)) * q
-        d5 = (d_lin[5] + d_quad[5] * jnp.abs(r)) * r
-
-        # third DCM row: sth = -r20, cth_sphi = r21, cth_cphi = r22
-        sth = -r20
-        g0 = WB * sth
-        g1 = -WB * r21
-        g2 = -WB * r22
-        g3 = ybB * r22 - zbB * r21
-        g4 = -zbB * sth - xbB * r22
-        g5 = xbB * r21 + ybB * sth
-
-        nd0 = (tau[0] - c0 - d0 - g0) * minv[0]
-        nd1 = (tau[1] - c1 - d1 - g1) * minv[1]
-        nd2 = (tau[2] - c2 - d2 - g2) * minv[2]
-        nd3 = (tau[3] - c3 - d3 - g3) * minv[3]
-        nd4 = (tau[4] - c4 - d4 - g4) * minv[4]
-        nd5 = (tau[5] - c5 - d5 - g5) * minv[5]
-
-        px = r00 * u + r01 * v + r02 * w
-        py = r10 * u + r11 * v + r12 * w
-        pz = r20 * u + r21 * v + r22 * w
+        R = (
+            1.0 - 2.0 * (qy * qy + qz * qz),
+            2.0 * (qx * qy - qz * qw),
+            2.0 * (qx * qz + qy * qw),
+            2.0 * (qx * qy + qz * qw),
+            1.0 - 2.0 * (qx * qx + qz * qz),
+            2.0 * (qy * qz - qx * qw),
+            2.0 * (qx * qz - qy * qw),
+            2.0 * (qy * qz + qx * qw),
+            1.0 - 2.0 * (qx * qx + qy * qy),
+        )
+        (px, py, pz), nd = hydro(R, nu, tau)
 
         qdw = 0.5 * (-qx * pp - qy * q - qz * r)
         qdx = 0.5 * (qw * pp + qy * r - qz * q)
         qdy = 0.5 * (qw * q - qx * r + qz * pp)
         qdz = 0.5 * (qw * r + qx * q - qy * pp)
 
-        return (px, py, pz, qdw, qdx, qdy, qdz,
-                nd0, nd1, nd2, nd3, nd4, nd5)
+        return (px, py, pz, qdw, qdx, qdy, qdz) + nd
 
     return rhs
 
@@ -229,7 +177,8 @@ def make_rollout_final_pallas_quat(
 ):
     """Build ``fn(x0, TAU_seq) -> xT``: whole quat13 rollout in VMEM under
     a shared wrench sequence.  ``x0``: ``(B, 13)`` (B divisible by
-    ``block_b``); ``TAU_seq``: ``(T, 6)``.  Trig-free — not bounded by
+    ``min(block_b, B)`` — small batches run as one block);
+    ``TAU_seq``: ``(T, 6)``.  Trig-free — not bounded by
     transcendental throughput like the euler12 kernel; the round-4
     measured block sweep picked 2048 (2.18e9 steps/s vs 1.99e9 at 1024,
     1.29e9 at 512 on v5e — see ``bench.py --full`` roofline rows).

@@ -52,21 +52,18 @@ def _scalar(x) -> float:
     return float(jax.device_get(x))
 
 
-def _make_rhs_rows(p: FossenParams):
-    """Closed-form euler12 RHS with all coefficients as Python floats.
+def _make_hydro_rows(p: FossenParams):
+    """Shared hydrodynamics of the euler12 AND quat13 row RHSs.
 
-    Same math as ``fossen.wrench_rhs_euler``, INCLUDING the constant NED
-    ocean current (``fossen/BlueROV2.py:376-378``): the current is rotated
-    to body frame per state with the R rows already computed here, and the
-    relative velocity enters the damping on the linear DOFs only.  A zero
-    current (the default) bakes to exactly the previous arithmetic.
-
-    **State representation: a 12-tuple of (B,) row vectors**, NOT a
-    stacked (12, B) array.  On TPU a (B,) vector is already in the native
-    (8, 128) vreg layout, while every row extraction from / stack into a
-    (12, B) tile is a sublane relayout — keeping the RK4 stages entirely
-    in rows made the rollout kernel 3.3x faster (bit-identical results).
-    ``tau`` is a 6-sequence of scalars or (B,) vectors (broadcasting).
+    Everything the two state conventions have in common — the constants
+    prologue, Coriolis, current-relative damping, DCM-row restoring,
+    nu_dot assembly and linear-velocity kinematics — factored to one
+    copy (the ocean-current feature once had to be added to both RHSs
+    by hand).  Returns ``hydro(R, nu, tau) -> ((px, py, pz),
+    (nd0..nd5))`` where ``R`` is the 9-tuple of ``R_{b->n}`` entries
+    (row-major; the euler caller passes ``r20 = -sin(theta)``, an exact
+    negation, so results are bit-identical to the previous inline forms)
+    and ``nu = (u, v, w, p, q, r)`` body velocities as (B,) rows.
     """
     mdiag = [_scalar(v) for v in p.mdiag]
     minv = [_scalar(v) for v in p.minv]
@@ -84,23 +81,9 @@ def _make_rhs_rows(p: FossenParams):
     has_current = any(c != 0.0 for c in cur)
     cnx, cny, cnz = cur
 
-    def rhs(x, tau):
-        phi, theta, psi = x[3], x[4], x[5]
-        u, v, w = x[6], x[7], x[8]
-        pp, q, r = x[9], x[10], x[11]
-
-        cphi, sphi = jnp.cos(phi), jnp.sin(phi)
-        cth, sth = jnp.cos(theta), jnp.sin(theta)
-        cpsi, spsi = jnp.cos(psi), jnp.sin(psi)
-
-        r00 = cpsi * cth
-        r01 = -spsi * cphi + cpsi * sth * sphi
-        r02 = spsi * sphi + cpsi * cphi * sth
-        r10 = spsi * cth
-        r11 = cpsi * cphi + sphi * sth * spsi
-        r12 = -cpsi * sphi + sth * spsi * cphi
-        r21 = cth * sphi
-        r22 = cth * cphi
+    def hydro(R, nu, tau):
+        r00, r01, r02, r10, r11, r12, r20, r21, r22 = R
+        u, v, w, pp, q, r = nu
 
         c0 = mdiag[2] * w * q - mdiag[1] * v * r
         c1 = -mdiag[2] * w * pp + mdiag[0] * u * r
@@ -110,9 +93,9 @@ def _make_rhs_rows(p: FossenParams):
         c5 = gyro[2] * pp * q + (Xud - Yvd) * u * v
 
         if has_current:
-            # v_c^b = R^T v_c^n (R rows above); nu_r on linear DOFs only,
-            # damping is the only consumer (fossen/BlueROV2.py:376-378)
-            ur = u - (r00 * cnx + r10 * cny - sth * cnz)
+            # v_c^b = R^T v_c^n; nu_r on linear DOFs, damping is the only
+            # consumer (fossen/BlueROV2.py:376-378)
+            ur = u - (r00 * cnx + r10 * cny + r20 * cnz)
             vr = v - (r01 * cnx + r11 * cny + r21 * cnz)
             wr = w - (r02 * cnx + r12 * cny + r22 * cnz)
         else:
@@ -124,6 +107,8 @@ def _make_rhs_rows(p: FossenParams):
         d4 = (d_lin[4] + d_quad[4] * jnp.abs(q)) * q
         d5 = (d_lin[5] + d_quad[5] * jnp.abs(r)) * r
 
+        # third DCM row: sin(theta) = -r20, cth*sphi = r21, cth*cphi = r22
+        sth = -r20
         g0 = WB * sth
         g1 = -WB * r21
         g2 = -WB * r22
@@ -140,7 +125,52 @@ def _make_rhs_rows(p: FossenParams):
 
         px = r00 * u + r01 * v + r02 * w
         py = r10 * u + r11 * v + r12 * w
-        pz = -sth * u + r21 * v + r22 * w
+        pz = r20 * u + r21 * v + r22 * w
+
+        return (px, py, pz), (nd0, nd1, nd2, nd3, nd4, nd5)
+
+    return hydro
+
+
+def _make_rhs_rows(p: FossenParams):
+    """Closed-form euler12 RHS with all coefficients as Python floats.
+
+    Same math as ``fossen.wrench_rhs_euler``, INCLUDING the constant NED
+    ocean current (``fossen/BlueROV2.py:376-378``): the current is rotated
+    to body frame per state with the R rows already computed here, and the
+    relative velocity enters the damping on the linear DOFs only.  A zero
+    current (the default) bakes to exactly the previous arithmetic.
+
+    **State representation: a 12-tuple of (B,) row vectors**, NOT a
+    stacked (12, B) array.  On TPU a (B,) vector is already in the native
+    (8, 128) vreg layout, while every row extraction from / stack into a
+    (12, B) tile is a sublane relayout — keeping the RK4 stages entirely
+    in rows made the rollout kernel 3.3x faster (bit-identical results).
+    ``tau`` is a 6-sequence of scalars or (B,) vectors (broadcasting).
+    """
+    hydro = _make_hydro_rows(p)
+
+    def rhs(x, tau):
+        phi, theta, psi = x[3], x[4], x[5]
+        nu = (x[6], x[7], x[8], x[9], x[10], x[11])
+        pp, q, r = nu[3], nu[4], nu[5]
+
+        cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+        cth, sth = jnp.cos(theta), jnp.sin(theta)
+        cpsi, spsi = jnp.cos(psi), jnp.sin(psi)
+
+        R = (
+            cpsi * cth,
+            -spsi * cphi + cpsi * sth * sphi,
+            spsi * sphi + cpsi * cphi * sth,
+            spsi * cth,
+            cpsi * cphi + sphi * sth * spsi,
+            -cpsi * sphi + sth * spsi * cphi,
+            -sth,  # r20 = -sin(theta); negation is exact, so the shared
+            cth * sphi,  # hydro's sth = -r20 round-trips bit-identically
+            cth * cphi,
+        )
+        (px, py, pz), nd = hydro(R, nu, tau)
 
         eps = 1e-7
         sign = jnp.where(cth < 0.0, -1.0, 1.0)
@@ -150,14 +180,18 @@ def _make_rhs_rows(p: FossenParams):
         dtheta = cphi * q - sphi * r
         dpsi = (sphi * q + cphi * r) / cth_c
 
-        return (px, py, pz, dphi, dtheta, dpsi,
-                nd0, nd1, nd2, nd3, nd4, nd5)
+        return (px, py, pz, dphi, dtheta, dpsi) + nd
 
     return rhs
 
 
 def _rk4_rows(rhs, xs, tau, dt, method):
     """One integrator step on the 12-tuple row state (no relayouts)."""
+    if method not in ("euler", "rk4"):
+        # mirror fossen._STEPPERS[method]'s KeyError: a typo ("Euler",
+        # "rk2") must not silently integrate with RK4 while the XLA-scan
+        # twin raises — that would change blessed numbers with no error
+        raise ValueError(f"unknown method {method!r}; use 'euler' or 'rk4'")
     if method == "euler":
         k1 = rhs(xs, tau)
         return tuple(x + dt * k for x, k in zip(xs, k1))
@@ -183,7 +217,8 @@ def make_rollout_final_pallas(
 ):
     """Build a jitted ``fn(x0, U) -> xT`` VMEM-resident rollout.
 
-    ``x0``: ``(B, 12)`` (B divisible by ``block_b``); ``U``: ``(T, 8)``
+    ``x0``: ``(B, 12)`` (B divisible by ``min(block_b, B)`` — small
+    batches run as one block); ``U``: ``(T, 8)``
     shared commands.  The physical constants are extracted eagerly here
     (compile-time floats), so the returned function is jit/trace-safe.
 

@@ -62,6 +62,8 @@ def sharded_endpoint_rmse(mesh: Mesh, step: Callable, X, U, H: int,
     """
     N = X.shape[0]
     n_start = N - H
+    if n_start <= 0:  # same NaN contract as the single-device twin
+        return jnp.asarray(jnp.nan, jnp.float32)
     repl = NamedSharding(mesh, P())
     batch_sharding = NamedSharding(mesh, P(data_axis))
 
@@ -88,6 +90,8 @@ def shardmap_endpoint_rmse(mesh: Mesh, step: Callable, X, U, H: int,
 
     N, n = X.shape
     n_start = N - H
+    if n_start <= 0:  # same NaN contract as the single-device twin
+        return jnp.asarray(jnp.nan, jnp.float32)
     n_dev = mesh.shape[data_axis]
     if n_start % n_dev != 0:
         raise ValueError(f"n_start={n_start} not divisible by mesh axis {n_dev}")
@@ -135,11 +139,13 @@ def _shardmap_window_rmse(
     ``(N - H) % mesh.shape[data_axis] == 0``.
     """
     from jax import shard_map
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+
+    from bluerov2_dynamics_tpu.ops.pallas_eval import window_pallas_call
 
     N, n = X.shape
     n_start = N - H
+    if n_start <= 0:  # same NaN contract as the single-device twin
+        return jnp.asarray(jnp.nan, jnp.float32)
     n_dev = mesh.shape[data_axis]
     if n_start % n_dev != 0:
         raise ValueError(f"n_start={n_start} not divisible by mesh axis {n_dev}")
@@ -166,21 +172,8 @@ def _shardmap_window_rmse(
                                   (n_in, m_pad))
             for t in range(H)
         ])  # (H, n_in, m_pad)
-        out = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((n_state, m_pad), jnp.float32),
-            grid=(m_pad // bb, H),
-            in_specs=[
-                pl.BlockSpec((1, n_in, bb), lambda i, t: (t, 0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_state, bb), lambda i, t: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((n_state, bb), lambda i, t: (0, i),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=scratch_shapes(bb),
-            interpret=interpret,
-        )(u_shift, x0t)
+        out = window_pallas_call(kernel, n_state, n_in, bb, m_pad, H,
+                                 scratch_shapes, interpret)(u_shift, x0t)
         final = out[:, :m].T
         d = final - target_local
         return jax.lax.psum(jnp.sum(d * d), data_axis)
@@ -316,6 +309,8 @@ def sharded_koopman_multistep_rmse(
     from bluerov2_dynamics_tpu.models import koopman
 
     n_start = X.shape[0] - H
+    if n_start <= 0:  # same NaN contract as the single-device twin
+        return jnp.asarray(jnp.nan, jnp.float32)
     repl = NamedSharding(mesh, P())
     batch = NamedSharding(mesh, P(data_axis))
     op_sharding = NamedSharding(mesh, P(model_axis, None))

@@ -115,3 +115,45 @@ def test_endpoint_pallas_wrench_matches_scan(rng):
                                              state="euler12")
             want = float(metrics.endpoint_rmse(step_m, X, TAU, H))
             np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_window_eval_rejects_mis_shaped_inputs(rng):
+    """The window driver must ERROR on wrong-width X/U instead of letting
+    the BlockSpecs silently truncate columns (an (N, 8) thruster-command
+    array fed to the 6-wrench evaluator would otherwise be read as the
+    first 6 wrench columns) or zero-pad a short U."""
+    import pytest
+
+    from bluerov2_dynamics_tpu.ops.pallas_eval import (
+        make_endpoint_final_pallas_wrench,
+    )
+
+    p = fossen_params(dtype=jnp.float32)
+    fe = make_endpoint_final_pallas_wrench(p, 0.02, 10, method="euler",
+                                           block_b=16, interpret=True)
+    X = jnp.zeros((40, 12), jnp.float32)
+    with pytest.raises(Exception, match="U must be"):
+        fe(X, jnp.zeros((40, 8), jnp.float32))  # thruster cmds, not wrench
+    with pytest.raises(Exception, match="rows"):
+        fe(X, jnp.zeros((20, 6), jnp.float32))  # too short
+    with pytest.raises(Exception, match="X must be"):
+        fe(jnp.zeros((40, 13), jnp.float32), jnp.zeros((40, 6), jnp.float32))
+
+
+def test_rows_stepper_rejects_unknown_method():
+    """A method typo must raise like fossen._STEPPERS[method] does, not
+    silently integrate with RK4 (would change blessed numbers)."""
+    import pytest
+
+    from bluerov2_dynamics_tpu.ops.pallas_quat import (
+        make_endpoint_final_pallas_quat,
+    )
+    from bluerov2_dynamics_tpu.ops.pallas_rollout import _rk4_rows
+
+    with pytest.raises(ValueError, match="unknown method"):
+        _rk4_rows(lambda xs, tau: xs, (jnp.zeros(8),), (0.0,), 0.02, "Euler")
+    p = fossen_params(dtype=jnp.float32)
+    fe = make_endpoint_final_pallas_quat(p, 0.02, 10, method="rk2",
+                                         block_b=16, interpret=True)
+    with pytest.raises(ValueError, match="unknown method"):
+        fe(jnp.zeros((40, 13), jnp.float32), jnp.zeros((40, 6), jnp.float32))

@@ -331,3 +331,29 @@ def test_shardmap_endpoint_rmse_pallas_quat_matches_single_device(rng, mesh):
                                          interpret=True)
     want = float(rmse(X[H:].astype(jnp.float32), fn(X, TAU)))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_sharded_evaluators_nan_for_h_ge_n(mesh):
+    """H >= N returns NaN like the single-device twins (koopman.py /
+    metrics.py guards), instead of crashing on a negative slice size."""
+    import jax.numpy as jnp
+
+    from bluerov2_dynamics_tpu.models import fossen
+    from bluerov2_dynamics_tpu.models.params import fossen_params
+
+    from bluerov2_dynamics_tpu.parallel.sharded import (
+        shardmap_endpoint_rmse,
+        shardmap_endpoint_rmse_pallas_wrench,
+    )
+
+    p = fossen_params(dtype=jnp.float32)
+    step = fossen.make_wrench_step(p, 0.02, method="euler")
+    X = jnp.zeros((8, 12), jnp.float32)
+    TAU = jnp.zeros((8, 6), jnp.float32)
+    out = sharded_endpoint_rmse(mesh, step, X, TAU, H=8)
+    assert np.isnan(float(out))
+    out = shardmap_endpoint_rmse(mesh, step, X, TAU, H=20)
+    assert np.isnan(float(out))
+    out = shardmap_endpoint_rmse_pallas_wrench(
+        mesh, p, X, TAU, 0.02, H=8, interpret=True)
+    assert np.isnan(float(out))
