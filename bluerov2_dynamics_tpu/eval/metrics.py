@@ -18,7 +18,7 @@ is generalised here to *any* step function.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, Optional
 
 import jax
@@ -72,7 +72,7 @@ def endpoint_rmse(step: Callable, X, U, H: int):
     n_start = N - H
     if n_start <= 0:  # reference evaluators return NaN for H >= N
         return jnp.asarray(jnp.nan, X.dtype)
-    final = _scan_all_starts(lambda c, u: step(c, u), X[:n_start], U, H, n_start)
+    final = _scan_all_starts(step, X[:n_start], U, H, n_start)
     return rmse(X[H:], final)
 
 
@@ -96,6 +96,18 @@ def endpoint_rmse_carry(
     principled semantic (validated to give metric-level parity on smooth
     inputs).
     """
+    return _carry_runner(step, init_aux, get_state)(X, U, H)
+
+
+@lru_cache(maxsize=64)
+def _carry_runner(step, init_aux, get_state):
+    """Jitted runner cached on the (step, init_aux, get_state) identity —
+    building the closure inside every :func:`endpoint_rmse_carry` call
+    re-traced AND re-compiled on each invocation, so the "warm" timing of
+    the scan-fallback physics baseline measured compilation, not
+    execution.  Callers that reuse their step functions (the apps build
+    them once) now hit XLA's cache like the sibling
+    :func:`endpoint_rmse` does."""
 
     @partial(jax.jit, static_argnums=(2,))
     def run(X, U, H):
@@ -109,4 +121,4 @@ def endpoint_rmse_carry(
         final_state = final if get_state is None else get_state(final)
         return rmse(X[H:], final_state)
 
-    return run(X, U, H)
+    return run

@@ -27,8 +27,9 @@ def sync(result):
     """Force completion of ``result``'s computation (host readback of one
     element per DISTINCT device among the array leaves); returns ``result``.
 
-    One readback per device, not per leaf: a pytree whose leaves live on
-    different devices (sharded outputs) needs every device barriered, but
+    One readback per DEVICE (via each leaf's addressable shards), not per
+    leaf: a sharded leaf needs every participating device barriered (one
+    element of the whole leaf only forces the shard-0 device), while
     leaves sharing a device share one execution stream — per-leaf
     readbacks would add one tunnel RTT (~1-4 ms) each inside the timed
     region and bias warm timings of multi-leaf results (e.g. a fitted
@@ -39,11 +40,16 @@ def sync(result):
     for leaf in jax.tree.leaves(result):
         if not (isinstance(leaf, jax.Array) and leaf.size):
             continue  # numpy leaf (or empty): no device to barrier
-        devs = frozenset(leaf.devices())
-        if devs in seen:
-            continue
-        seen.add(devs)
-        np.asarray(jax.device_get(leaf.ravel()[0]))
+        # one readback per DEVICE via the leaf's shards: reading element 0
+        # of the whole leaf only barriers the device holding shard 0, so a
+        # sharded output would leave the other devices' streams unawaited
+        # — exactly the early-return failure mode this function prevents
+        for shard in leaf.addressable_shards:
+            dev = shard.device
+            if dev in seen or not shard.data.size:
+                continue
+            seen.add(dev)
+            np.asarray(jax.device_get(shard.data.ravel()[0]))
     return result
 
 

@@ -153,7 +153,12 @@ def fit_multi(
     ``position_invariant`` as in :func:`fit` — particularly apt here, since
     recordings from different sessions drift through different regions.
     """
-    assert len(X_list) == len(U_list) and len(X_list) > 0
+    if len(X_list) != len(U_list) or not X_list:
+        # must survive python -O: the zip below would silently drop the
+        # unmatched trajectories and fit on less data than requested
+        raise ValueError(
+            f"X_list ({len(X_list)}) and U_list ({len(U_list)}) must be "
+            "equal-length and non-empty")
     X_all = jnp.concatenate([jnp.asarray(X) for X in X_list if len(X) > 0], axis=0)
     weights = None
     if position_invariant:

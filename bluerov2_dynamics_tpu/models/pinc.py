@@ -554,6 +554,10 @@ def endpoint_rmse(net, params, X12, U4, dt, H: int, psi_error: str = "raw"):
     from bluerov2_dynamics_tpu.eval.metrics import rmse
     from bluerov2_dynamics_tpu.ops.rotations import ssa
 
+    if psi_error not in ("raw", "ssa"):
+        # a typo ("SSA", "wrapped") must not silently fall back to the
+        # raw-psi metric whose whole point is that it differs by 2*pi*k
+        raise ValueError(f"psi_error must be 'raw' or 'ssa', got {psi_error!r}")
     N = X12.shape[0]
     n_start = N - H
     if n_start <= 0:  # reference evaluators return NaN for H >= N

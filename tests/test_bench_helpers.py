@@ -124,3 +124,22 @@ def test_time_fn_slope_flags_nonpositive_slope_as_nan():
 
     _, _, warm = time_fn_slope(slow_fn, k_lo=2, k_hi=10, reps=3)
     assert math.isnan(warm)
+
+
+def test_sync_covers_sharded_leaves():
+    """sync() must walk a sharded leaf's addressable shards (one readback
+    per participating device) — reading element 0 of the whole leaf only
+    barriers the shard-0 device."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bluerov2_dynamics_tpu.eval.timing import sync
+    from bluerov2_dynamics_tpu.parallel import make_mesh
+
+    mesh = make_mesh(axis_names=("data",))
+    x = jax.device_put(jnp.arange(16.0).reshape(8, 2),
+                       NamedSharding(mesh, P("data")))
+    out = sync({"a": x, "b": jnp.ones(3)})
+    assert out["a"] is x  # identity preserved
+    assert len(x.addressable_shards) == len(mesh.devices.ravel())
