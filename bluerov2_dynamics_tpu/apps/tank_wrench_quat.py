@@ -41,7 +41,9 @@ def main(argv=None):
     if args.synthetic or args.csv is None:
         ds = synthetic_quat_dataset(args)
     else:
-        ds = csv_loader.load_quat_dataset(args.csv)
+        # through load_or_generate so '--csv <directory>' search and
+        # --csv-name work here like in the other tank apps
+        ds = common.load_or_generate(args, csv_loader.load_quat_dataset)
     train, test = csv_loader.train_test_split(ds, args.train_split)
     info(f"Train: {len(train.X)} | Test: {len(test.X)}")
     dt = float(ds.dt)

@@ -523,13 +523,16 @@ def convert(
     df = resample_and_join(df_odom, df_act, hz)
     out_base = Path(out_base) if out_base else bag_path / f"koopman_dataset_{int(hz)}Hz"
     out_base.parent.mkdir(parents=True, exist_ok=True)
-    csv_path = out_base.with_suffix(".csv")
+    # append, don't with_suffix: a dotted basename like --out run_v1.2
+    # would have its ".2" silently replaced (run_v1.csv)
+    csv_path = out_base.parent / (out_base.name + ".csv")
     df.to_csv(csv_path, index=False)
     ok(f"Saved: {csv_path}")
     if write_parquet:
+        pq_path = out_base.parent / (out_base.name + ".parquet")
         try:
-            df.to_parquet(out_base.with_suffix(".parquet"), index=False)
-            ok(f"Saved: {out_base.with_suffix('.parquet')}")
+            df.to_parquet(pq_path, index=False)
+            ok(f"Saved: {pq_path}")
         except Exception as e:
             warn(f"Parquet not written: {e}")
     if video_path:

@@ -50,9 +50,28 @@ def topics_of(db3_path) -> Dict[str, Tuple[int, str]]:
     return {name: (tid, typ) for tid, name, typ in rows}
 
 
-def raw_messages(db3_path, topic: str):
-    """All ``(timestamp_ns, blob)`` rows of a topic (for batch decoding)."""
-    tops = topics_of(db3_path)
+_DEFAULT_STORE = None
+
+
+def _default_store():
+    """Module-cached default typestore: building it re-parses every PX4
+    .msg definition (~30 types), which iter_messages used to do once per
+    topic read."""
+    global _DEFAULT_STORE
+    if _DEFAULT_STORE is None:
+        from bluerov2_dynamics_tpu.data import typesys
+
+        _DEFAULT_STORE = typesys.default_typestore()
+    return _DEFAULT_STORE
+
+
+def raw_messages(db3_path, topic: str, tops: Dict[str, Tuple[int, str]] = None):
+    """All ``(timestamp_ns, blob)`` rows of a topic (for batch decoding).
+
+    ``tops``: pass the result of :func:`topics_of` to avoid re-querying
+    the topics table per topic read."""
+    if tops is None:
+        tops = topics_of(db3_path)
     if topic not in tops:
         return [], None
     tid, typ = tops[topic]
@@ -64,7 +83,8 @@ def raw_messages(db3_path, topic: str):
     return [(ts, bytes(b)) for ts, b in rows], typ
 
 
-def iter_messages(db3_path, topic: str, typestore=None) -> Iterator[Tuple[int, object]]:
+def iter_messages(db3_path, topic: str, typestore=None,
+                  tops: Dict[str, Tuple[int, str]] = None) -> Iterator[Tuple[int, object]]:
     """Yield ``(timestamp_ns, decoded_message)`` for one topic.
 
     Types without a hand-written decoder (``cdr.DECODERS``) fall back to
@@ -74,16 +94,14 @@ def iter_messages(db3_path, topic: str, typestore=None) -> Iterator[Tuple[int, o
     (the reference's custom-type registration path,
     ``rosbags/bag2csv.py:74-97``).
     """
-    tops = topics_of(db3_path)
+    if tops is None:
+        tops = topics_of(db3_path)
     if topic not in tops:
         return
     tid, typ = tops[topic]
     decoder = cdr.DECODERS.get(typ)
     if decoder is None:
-        from bluerov2_dynamics_tpu.data import typesys
-
-        store = (typestore if typestore is not None
-                 else typesys.default_typestore())
+        store = typestore if typestore is not None else _default_store()
         if typ in store.types:
             decoder = lambda blob: store.decode(typ, blob)  # noqa: E731
         else:
@@ -95,11 +113,25 @@ def iter_messages(db3_path, topic: str, typestore=None) -> Iterator[Tuple[int, o
             "SELECT timestamp, data FROM messages WHERE topic_id = ? "
             "ORDER BY timestamp", (tid,),
         )
+        n_ok = n_fail = 0
+        first_err = None
         for ts, blob in cur:
             try:
-                yield ts, decoder(bytes(blob))
-            except Exception:
+                msg = decoder(bytes(blob))
+            except Exception as e:  # tolerate stray corrupt rows...
+                n_fail += 1
+                if first_err is None:
+                    first_err = e
                 continue
+            n_ok += 1
+            yield ts, msg
+    # ...but a SYSTEMATIC decode failure (unregistered nested type, wrong
+    # field layout) must not become a silently empty stream — that exact
+    # bug class ate a whole topic in round 3 ("swallowed by a bare except
+    # into 0 messages", CLAUDE.md)
+    if n_fail and n_fail >= n_ok:
+        warn(f"{topic}: {n_fail}/{n_ok + n_fail} messages failed to decode "
+             f"as {typ!r} (first error: {first_err!r}) — schema mismatch?")
 
 
 def read_bag_sqlite(
@@ -141,7 +173,7 @@ def read_bag_sqlite(
             return None
 
     if topics.mocap_odom in tops:
-        rows, _ = raw_messages(db3, topics.mocap_odom)
+        rows, _ = raw_messages(db3, topics.mocap_odom, tops=tops)
         times = [rel(ts) for ts, _ in rows]
         res = native("decode_odometry_batch", [b for _, b in rows])
         if res is not None:
@@ -177,12 +209,12 @@ def read_bag_sqlite(
             (rel(ts), m.pose.position.x, m.pose.position.y, m.pose.position.z,
              m.pose.orientation.x, m.pose.orientation.y, m.pose.orientation.z,
              m.pose.orientation.w)
-            for ts, m in iter_messages(db3, topics.mocap_pose)
+            for ts, m in iter_messages(db3, topics.mocap_pose, tops=tops)
         ]
         vrow = [
             (rel(ts), m.twist.linear.x, m.twist.linear.y, m.twist.linear.z,
              m.twist.angular.x, m.twist.angular.y, m.twist.angular.z)
-            for ts, m in iter_messages(db3, topics.mocap_vel)
+            for ts, m in iter_messages(db3, topics.mocap_vel, tops=tops)
         ]
         dfp = pd.DataFrame(prow, columns=["t", "px", "py", "pz", "qx", "qy", "qz", "qw"]).sort_values("t")
         dfv = pd.DataFrame(vrow, columns=["t", "vlx", "vly", "vlz", "vax", "vay", "vaz"]).sort_values("t")
@@ -200,7 +232,7 @@ def read_bag_sqlite(
         )
 
     elif topics.px4_odom in tops:
-        raw, _ = raw_messages(db3, topics.px4_odom)
+        raw, _ = raw_messages(db3, topics.px4_odom, tops=tops)
         times = [rel(ts) for ts, _ in raw]
         fields = native("decode_vehicle_odometry_batch", [b for _, b in raw])
         if fields is None:
@@ -229,7 +261,7 @@ def read_bag_sqlite(
 
     df_act = None
     if topics.px4_motors in tops:
-        raw, _ = raw_messages(db3, topics.px4_motors)
+        raw, _ = raw_messages(db3, topics.px4_motors, tops=tops)
         if raw:
             times = [rel(ts) for ts, _ in raw]
             controls = native("decode_actuator_motors_batch", [b for _, b in raw])

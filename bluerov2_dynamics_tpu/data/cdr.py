@@ -68,6 +68,16 @@ class CdrReader:
         self.pos += n
         return raw.rstrip(b"\x00").decode("utf-8", errors="replace")
 
+    def wstring(self) -> str:
+        # fastcdr wire format: uint32 length in UTF-16 code units (no
+        # terminator), then n uint16 little-endian code units.  Decoding
+        # this as a narrow string would advance pos by n instead of 2n and
+        # silently misalign every subsequent field.
+        n = self.prim("uint32")
+        raw = self.buf[self.pos : self.pos + 2 * n]
+        self.pos += 2 * n
+        return raw.decode("utf-16-le", errors="replace")
+
 
 class CdrWriter:
     """CDR payload writer (mirror of :class:`CdrReader`; used in tests and
@@ -95,6 +105,12 @@ class CdrWriter:
     def string(self, s: str):
         raw = s.encode("utf-8") + b"\x00"
         self.prim("uint32", len(raw))
+        self.parts.extend(raw)
+        return self
+
+    def wstring(self, s: str):
+        raw = s.encode("utf-16-le")
+        self.prim("uint32", len(raw) // 2)  # length in UTF-16 code units
         self.parts.extend(raw)
         return self
 

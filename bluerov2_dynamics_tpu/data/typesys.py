@@ -40,14 +40,14 @@ _IDL_PRIMS = {
     "long": "int32", "unsigned long": "uint32",
     "long long": "int64", "unsigned long long": "uint64",
     "float": "float32", "double": "float64",
-    "string": "string", "wstring": "string",
+    "string": "string", "wstring": "wstring",
 }
 
 # ROS .msg aliases
 _MSG_PRIMS = {k: k for k in _FMT}
 _MSG_PRIMS.update({
     "bool": "bool", "byte": "uint8", "char": "uint8",
-    "string": "string", "wstring": "string",
+    "string": "string", "wstring": "wstring",
 })
 
 
@@ -137,6 +137,11 @@ def _strip_idl(text: str) -> str:
         r"@\w+\s*(\((?:[^()\"']|\"[^\"]*\"|'[^']*')*\))?", " ", text,
         flags=re.S,
     )
+    # blank remaining string literals (const string values): a '{' inside
+    # one would otherwise corrupt the module-brace scanner's stack and
+    # register every later struct under the wrong module path
+    text = re.sub(r'"(?:[^"\\]|\\.)*"', '""', text)
+    text = re.sub(r"'(?:[^'\\]|\\.)*'", "''", text)
     return text
 
 
@@ -208,9 +213,9 @@ def _idl_type(spec: str, typedefs: Dict[str, tuple]) -> tuple:
         kind, _ = _idl_type(seq.group(1), typedefs)
         return kind, -1
     spec = re.sub(r"\s+", " ", spec)
-    strm = re.match(r"w?string\s*(<\s*\d+\s*>)?$", spec)
+    strm = re.match(r"(w?)string\s*(<\s*\d+\s*>)?$", spec)
     if strm:
-        return "string", None
+        return ("wstring" if strm.group(1) else "string"), None
     if spec in _IDL_PRIMS:
         return _IDL_PRIMS[spec], None
     if spec in typedefs:
@@ -304,11 +309,12 @@ class TypeStore:
         return out
 
     def _decode_field(self, f: Field, r: CdrReader):
-        if f.kind == "string":
+        if f.kind in ("string", "wstring"):
+            read = r.string if f.kind == "string" else r.wstring
             if f.count is None:
-                return r.string()
+                return read()
             n = f.count if f.count >= 0 else r.prim("uint32")
-            return [r.string() for _ in range(n)]
+            return [read() for _ in range(n)]
         if f.kind in _FMT:
             if f.count is None:
                 return r.prim(f.kind)

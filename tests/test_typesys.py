@@ -237,3 +237,41 @@ def test_msg_bounded_string_and_unparseable_line():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unparseable"):
         typesys.parse_msg("float64[3 broken\n", "d/msg/S")
+
+
+def test_wstring_decodes_utf16_and_keeps_alignment():
+    """wstring payloads are UTF-16 code units (2 bytes each, length counted
+    in units); decoding them as a narrow string advanced the cursor by n
+    instead of 2n and silently misaligned every later field."""
+    from bluerov2_dynamics_tpu.data.cdr import CdrWriter
+    from bluerov2_dynamics_tpu.data.typesys import TypeStore
+
+    ts = TypeStore()
+    ts.register_msg("demo/msg/W", "wstring label\nint32 value\n")
+    blob = CdrWriter().wstring("héllo").prim("int32", 42).bytes()
+    msg = ts.decode("demo/msg/W", blob)
+    assert msg.label == "héllo"
+    assert msg.value == 42  # field AFTER the wstring still aligned
+
+
+def test_idl_brace_inside_string_constant_does_not_corrupt_modules():
+    """A '{' inside a const string literal must not desync the module-brace
+    scanner (every later struct would register under a wrong path)."""
+    from bluerov2_dynamics_tpu.data.typesys import parse_idl
+
+    idl = """
+module demo {
+  module msg {
+    module Weird_Constants {
+      const string TEMPLATE = "{x} and { more";
+    };
+    struct Weird {
+      int32 a;
+    };
+  };
+};
+"""
+    out = parse_idl(idl)
+    assert "demo/msg/Weird" in out
+    (f,) = out["demo/msg/Weird"]
+    assert f.name == "a" and f.kind == "int32"
