@@ -538,9 +538,13 @@ def convert(
     if video_path:
         from bluerov2_dynamics_tpu.viz import animate_topdown
 
-        sub = df.iloc[:: max(1, len(df) // 4000)]
+        stride = max(1, len(df) // 4000)
+        sub = df.iloc[::stride]
         animate_topdown(
-            {"bag": sub[STATE_COLS].to_numpy()}, dt=dt_med,
+            # dt must be the SUBSAMPLED step: with the raw dt the on-frame
+            # clock, tail window, and playback rate were all off by the
+            # stride factor (~11x on a 45k-row bag)
+            {"bag": sub[STATE_COLS].to_numpy()}, dt=dt_med * stride,
             save_path=video_path, title="Top-down trajectory", speed=6.0,
         )
     return csv_path

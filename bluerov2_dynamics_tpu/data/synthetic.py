@@ -49,6 +49,22 @@ def ar1_commands(key, n_steps: int, n_inputs: int = 8, alpha: float = 0.98,
     return U
 
 
+def _add_sensor_noise(key, X_true, pos_noise, ang_noise, vel_noise,
+                      angvel_noise, dtype):
+    """Per-channel-class mocap-style sensor noise on a (T, 12) euler12
+    trajectory (one sigma per 3-channel block) — one copy for both
+    generators."""
+    sigma = jnp.concatenate(
+        [
+            jnp.full(3, pos_noise, dtype),
+            jnp.full(3, ang_noise, dtype),
+            jnp.full(3, vel_noise, dtype),
+            jnp.full(3, angvel_noise, dtype),
+        ]
+    )
+    return X_true + sigma * jax.random.normal(key, X_true.shape, dtype)
+
+
 def generate_sim_dataset(
     key,
     n_steps: int = 240_000,
@@ -86,15 +102,8 @@ def generate_sim_dataset(
         return X_true
 
     X_true = run(x0, U)
-    sigma = jnp.concatenate(
-        [
-            jnp.full(3, pos_noise, dtype),
-            jnp.full(3, ang_noise, dtype),
-            jnp.full(3, vel_noise, dtype),
-            jnp.full(3, angvel_noise, dtype),
-        ]
-    )
-    X = X_true + sigma * jax.random.normal(k_n, X_true.shape, dtype)
+    X = _add_sensor_noise(k_n, X_true, pos_noise, ang_noise, vel_noise,
+                          angvel_noise, dtype)
     return SimDataset(X=X, X_true=X_true, U=U, dt=dt)
 
 
@@ -232,13 +241,6 @@ def generate_tank_recording(
         return X_true, U
 
     X_true, U = run(x0)
-    sigma = jnp.concatenate(
-        [
-            jnp.full(3, pos_noise, dtype),
-            jnp.full(3, ang_noise, dtype),
-            jnp.full(3, vel_noise, dtype),
-            jnp.full(3, angvel_noise, dtype),
-        ]
-    )
-    X = X_true + sigma * jax.random.normal(k_n, X_true.shape, dtype)
+    X = _add_sensor_noise(k_n, X_true, pos_noise, ang_noise, vel_noise,
+                          angvel_noise, dtype)
     return SimDataset(X=X, X_true=X_true, U=U, dt=dt)

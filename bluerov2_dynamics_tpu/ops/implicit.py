@@ -67,10 +67,14 @@ def make_implicit_step(
     newton_iters: int = 6,
 ):
     """Build ``step(x, u) -> x'`` using an implicit rule."""
-    stepper = {
+    steppers = {
         "trapezoidal": trapezoidal_step,
         "backward_euler": backward_euler_step,
-    }[method]
+    }
+    if method not in steppers:
+        raise ValueError(f"unknown method {method!r}; expected one of "
+                         f"{sorted(steppers)}")
+    stepper = steppers[method]
 
     def step(x, u):
         return stepper(rhs, x, u, dt, newton_iters)

@@ -229,28 +229,43 @@ def animate_topdown(
     (same contract as the reference helpers).
     """
     import matplotlib
-    if save_path is not None:
-        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     from matplotlib.animation import FuncAnimation
 
-    tf = _TopdownFigure(trajs, dt, title, tail_secs, dpi, ncols)
     fps = int(round(1.0 / dt * speed))
-    ani = None
 
     if save_path is not None and str(save_path).lower().endswith(".gif"):
         Path(save_path).parent.mkdir(parents=True, exist_ok=True)
+        # Render under Agg WITHOUT flipping the process backend for good:
+        # the previous matplotlib.use("Agg") was permanent, which made the
+        # show-on-failure fallback below (and any later interactive call
+        # in the same process) a silent no-op.
+        prev_backend = matplotlib.get_backend()
+        switched = prev_backend.lower() != "agg"
+        if switched:
+            plt.switch_backend("Agg")
         try:
-            _save_gif_fast(tf, save_path, fps)
-            print(f"[ok] Animation saved -> {save_path}")
-            plt.close(tf.fig)
-            return None
+            tf = _TopdownFigure(trajs, dt, title, tail_secs, dpi, ncols)
+            try:
+                # GIF decoders clamp frame delays below ~20 ms (50 fps);
+                # when the requested playback is faster, DROP frames so
+                # the wall-clock speed is honored instead of silently
+                # playing up to speed/50*fps-times slower
+                frame_step = max(1, -(-fps // 50))
+                _save_gif_fast(tf, save_path, fps, frame_step=frame_step)
+                print(f"[ok] Animation saved -> {save_path}")
+                return None
+            finally:
+                plt.close(tf.fig)
         except Exception as e:  # pragma: no cover
             print(f"[warn] Could not save animation ({e}). Showing instead.")
-            plt.show()
-            plt.close(tf.fig)
-            return None
+        finally:
+            if switched:
+                plt.switch_backend(prev_backend)
+        save_path = None  # fall through to the interactive path
 
+    tf = _TopdownFigure(trajs, dt, title, tail_secs, dpi, ncols)
+    ani = None
     interval_ms = int(max(1, 1000.0 * dt / max(speed, 1e-6)))
     ani = FuncAnimation(tf.fig, lambda i: tuple(tf.update(i)),
                         frames=tf.T, blit=True, interval=interval_ms)

@@ -18,7 +18,7 @@ import numpy as np
 
 from bluerov2_dynamics_tpu.viz.animate import _yaw_of
 
-_STYLES = ["-", "--", "-.", ":", "-."]
+_STYLES = ["-", "--", "-.", ":", (0, (3, 1, 1, 1))]  # 5 distinct styles
 
 
 def plot_topdown_with_depth(
