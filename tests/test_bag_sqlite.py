@@ -305,3 +305,22 @@ def test_loader_accepts_parquet(tmp_path, rng):
     ds_csv = load_thruster_dataset(out_base.with_suffix(".csv"), verbose=False)
     np.testing.assert_allclose(ds_pq.X, ds_csv.X, atol=1e-12)
     np.testing.assert_allclose(ds_pq.U, ds_csv.U, atol=1e-12)
+
+
+def test_iter_messages_warns_on_systematic_decode_failure(tmp_path, rng, capsys):
+    """All-corrupt blobs for a topic must produce a loud warning, not a
+    silently empty stream (the round-3 'swallowed into 0 messages' bug
+    class)."""
+    bag_dir, *_ = _make_bag(tmp_path, rng, n=20, with_motors=False)
+    db3 = next(bag_dir.glob("*.db3"))
+    con = sqlite3.connect(db3)
+    # truncate every blob to 3 bytes: even the CDR header check fails
+    con.execute("UPDATE messages SET data = X'000100'")
+    con.commit()
+    con.close()
+    from bluerov2_dynamics_tpu.data.bag_sqlite import iter_messages
+
+    msgs = list(iter_messages(bag_dir / db3.name, BagTopics().mocap_odom))
+    assert msgs == []
+    out = capsys.readouterr()
+    assert "failed to decode" in out.out + out.err
