@@ -616,6 +616,25 @@ def run_full(only: str | None = None):
         rows.append(("koopman_h100_eval_device_seconds", t_kd,
                      "s/call (chained)", 41.2 / t_kd))
 
+        # method="conv" A/B: same affine endpoint as one batched
+        # control-convolution GEMM (models/koopman.py:_endpoint_conv).
+        # Round-5 captures: scan 22.2-23.8 ms vs conv 2.6-4.0 ms
+        # (5.9-8.5x), RMSE agreement 5.1e-6 rel at this shape.
+        @jax.jit
+        def chained_kc(Xc):
+            r = koopman.multistep_rmse(model, Xc, Uk, 100, method="conv")
+            return Xc.at[0, 0].add(1e-20 * r)
+
+        _, t_kc = chained_steps_per_sec(chained_kc, Xk, 1, 10)
+        rows.append(("koopman_h100_eval_conv_device_seconds", t_kc,
+                     "s/call (chained)", 41.2 / t_kc))
+        r_scan = float(koopman.multistep_rmse(model, Xk, Uk, 100))
+        r_conv = float(koopman.multistep_rmse(model, Xk, Uk, 100,
+                                              method="conv"))
+        rows.append(("koopman_h100_conv_vs_scan_rel_agreement",
+                     abs(r_conv - r_scan) / max(r_scan, 1e-30),
+                     "rel", None))
+
     def sec_fossen_eval():
         X, U = dataset()
         p, cfg, lag = fossen_params(), thruster_config(), lag_params(dt)

@@ -160,6 +160,52 @@ def test_koopman_multistep_matches_manual_propagation(rng):
     np.testing.assert_allclose(got, want, rtol=1e-8)
 
 
+def test_koopman_multistep_conv_matches_scan(rng):
+    """method="conv" (control-convolution endpoint) must equal the
+    reference-faithful scan recurrence — same affine map, reassociated."""
+    X, U, _ = _make_linear_system_data(rng, N=250, r=3)
+    X, U = jnp.asarray(X), jnp.asarray(U)  # f64 under the test config
+    model = koopman.fit(jax.random.PRNGKey(0), X, U,
+                        n_rbfs=12, gamma=1.0, ridge=1e-6)
+    for H in (1, 2, 7, 64, 100):
+        r_scan = float(koopman.multistep_rmse(model, X, U, H, method="scan"))
+        r_conv = float(koopman.multistep_rmse(model, X, U, H, method="conv"))
+        np.testing.assert_allclose(r_conv, r_scan, rtol=1e-9, atol=0,
+                                   err_msg=f"H={H}")
+
+
+def test_koopman_multistep_conv_f32_and_extras(rng):
+    """conv/scan agreement holds at float32 (the production dtype) and
+    composes with decoder + post_decode exactly like scan does."""
+    X, U, _ = _make_linear_system_data(rng, N=200)
+    X = jnp.asarray(X, jnp.float32)
+    U = jnp.asarray(U, jnp.float32)
+    model = koopman.fit(jax.random.PRNGKey(0), X, U,
+                        n_rbfs=10, gamma=1.0, ridge=1e-6)
+    model = koopman.fit_decoder(model, X, ridge=1e-6)
+    post = lambda p: p * 2.0 + 1.0  # any jittable transform
+    r_scan = float(koopman.multistep_rmse(model, X, U, 50,
+                                          post_decode=post, method="scan"))
+    r_conv = float(koopman.multistep_rmse(model, X, U, 50,
+                                          post_decode=post, method="conv"))
+    # f32 reassociation over 50 steps: the two orderings differ at a few
+    # 1e-4 relative (the f64 test above pins the math identity at 1e-9)
+    np.testing.assert_allclose(r_conv, r_scan, rtol=2e-3)
+
+
+def test_koopman_multistep_bad_method_raises(rng):
+    X, U, _ = _make_linear_system_data(rng, N=50)
+    model = koopman.fit(jax.random.PRNGKey(0), jnp.asarray(X), jnp.asarray(U),
+                        n_rbfs=6, gamma=1.0, ridge=1e-6)
+    try:
+        koopman.multistep_rmse(model, jnp.asarray(X), jnp.asarray(U), 5,
+                               method="magic")
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+
+
 def test_koopman_simulate_shapes_and_start(rng):
     X, U, _ = _make_linear_system_data(rng, N=100)
     model = koopman.fit(
@@ -300,6 +346,12 @@ def test_koopman_fit_sweep_and_select(rng):
         np.asarray(jax.tree.map(lambda a: a[0], models).A), np.asarray(m0.A),
         atol=1e-8,
     )
+    # the conv scorer selects the same combo with matching scores
+    best_c, combo_c, rmses_c = koopman.select_best(
+        models, combos, X[300:], U[300:], H=5, method="conv")
+    np.testing.assert_array_equal(np.asarray(combo_c), np.asarray(best_combo))
+    np.testing.assert_allclose(np.asarray(rmses_c), np.asarray(rmses),
+                               rtol=1e-6)
 
 
 def test_orbax_checkpoint_roundtrip(tmp_path, rng):
