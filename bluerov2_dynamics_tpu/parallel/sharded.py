@@ -295,6 +295,7 @@ def sharded_koopman_multistep_rmse(
     H: int,
     data_axis: str = "data",
     model_axis: str = "model",
+    method: str = "scan",
 ):
     """TP+DP endpoint H-step Koopman RMSE over all N-H starts.
 
@@ -303,7 +304,10 @@ def sharded_koopman_multistep_rmse(
     the (d, d) Koopman operator is sharded over ``model_axis`` (tensor
     parallelism over the lift dimension — d=512 for the tank config), the
     start-index batch over ``data_axis``; XLA inserts the contraction
-    collectives from the annotations.
+    collectives from the annotations.  ``method`` as in the single-device
+    twin ("conv" propagates via the batched control-convolution endpoint —
+    one large GEMM instead of H serialized ones, so the per-step TP
+    contraction collectives collapse to one as well).
     """
     from bluerov2_dynamics_tpu.eval.metrics import rmse
     from bluerov2_dynamics_tpu.models import koopman
@@ -320,22 +324,25 @@ def sharded_koopman_multistep_rmse(
     X_r = jax.device_put(X, repl)
     U_r = jax.device_put(U, repl)
 
-    @partial(jax.jit, static_argnums=(3,))
-    def run(model, X, U, H):
+    @partial(jax.jit, static_argnums=(3, 4))
+    def run(model, X, U, H, method):
         Z = jax.lax.with_sharding_constraint(
             koopman.lift(model, X[:n_start]), batch
         )
         A_T, B_T = model.A.T, model.B.T
 
-        def body(Z, t):
-            u_t = jax.lax.dynamic_slice_in_dim(U, t, n_start, axis=0)
-            with jax.default_matmul_precision("highest"):
-                return Z @ A_T + u_t @ B_T, None
+        if method == "conv":
+            Z = koopman._endpoint_conv(Z, U, A_T, B_T, H, n_start, "highest")
+        else:
+            def body(Z, t):
+                u_t = jax.lax.dynamic_slice_in_dim(U, t, n_start, axis=0)
+                with jax.default_matmul_precision("highest"):
+                    return Z @ A_T + u_t @ B_T, None
 
-        Z, _ = jax.lax.scan(body, Z, jnp.arange(H))
+            Z, _ = jax.lax.scan(body, Z, jnp.arange(H))
         return rmse(X[H:], koopman.decode(model, Z))
 
-    return run(model_s, X_r, U_r, H)
+    return run(model_s, X_r, U_r, H, method)
 
 
 def sharded_koopman_fit(

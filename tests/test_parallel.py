@@ -127,6 +127,13 @@ def test_workload_koopman_tp_multistep_d512_matches_single_device(rng, mesh2d):
     got = float(sharded_koopman_multistep_rmse(mesh2d, model, X, U, H))
     assert np.isfinite(want)
     np.testing.assert_allclose(got, want, rtol=1e-6)
+    # the conv endpoint under the same TP+DP layout matches its own
+    # single-device twin
+    want_c = float(koopman.multistep_rmse(model, X, U, H, method="conv"))
+    got_c = float(sharded_koopman_multistep_rmse(mesh2d, model, X, U, H,
+                                                 method="conv"))
+    np.testing.assert_allclose(got_c, want_c, rtol=1e-6)
+    np.testing.assert_allclose(got_c, want, rtol=1e-3)
 
 
 def test_workload_physics_endpoint_45k_starts_h100(rng, mesh):
