@@ -52,6 +52,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                          "the dynamics are translation-invariant, so "
                          "position-bearing RBFs generalize poorly on "
                          "drifting recordings)")
+    ap.add_argument("--koopman-conv", action="store_true",
+                    help="score Koopman multistep metrics via the batched "
+                         "control-convolution endpoint "
+                         "(koopman.multistep_rmse(method='conv'): measured "
+                         "5.9-8.5x faster at H=100 on v5e, shifts RMSEs by "
+                         "~5e-6 relative; default is the reference-faithful "
+                         "scan recurrence)")
     ap.add_argument("--sweep", action="store_true",
                     help="fit every (gamma, ridge) combination as one "
                          "vmapped solve and keep the best on a validation "
@@ -70,6 +77,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                          "Each workload loads extras with its own column "
                          "contract (thruster / wrench / quat).")
     return ap
+
+
+def koopman_method(args) -> str:
+    """Koopman multistep propagation method selected by --koopman-conv."""
+    return "conv" if getattr(args, "koopman_conv", False) else "scan"
 
 
 def load_or_generate(args, loader: Callable = csv_loader.load_thruster_dataset):
@@ -177,7 +189,8 @@ def fit_koopman_from_args(args, key, X_tr, U_tr, loader: Callable = None):
             gammas=tuple(args.sweep_gammas), ridges=tuple(args.sweep_ridges),
             position_invariant=pi,
         )
-        best, combo, rmses = koopman.select_best(models, combos, X_val, U_val, H=10)
+        best, combo, rmses = koopman.select_best(
+            models, combos, X_val, U_val, H=10, method=koopman_method(args))
         return best, combo, rmses
 
     (model, combo, rmses), cold, warm = time_fn_cold_warm(fit)

@@ -56,7 +56,8 @@ def main(argv=None):
     U_test = jnp.asarray(test.U)
     print(f"One-step RMSE on test set: {float(koopman.evaluate(model, X_test, U_test)):.4f}")
     for H in (10, 100):
-        r = float(koopman.multistep_rmse(model, X_test, U_test, H))
+        r = float(koopman.multistep_rmse(model, X_test, U_test, H,
+                                         method=common.koopman_method(args)))
         print(f"{H}-step RMSE on test set: {r:.4f}")
 
     horizon = min(args.demo_steps, len(test.X) - 1)

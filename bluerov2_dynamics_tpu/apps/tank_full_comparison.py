@@ -202,8 +202,10 @@ def main(argv=None):
         if args.integrator == "euler"
         else di.make_step_euler12_rk4(gains, dt)
     )
+    k_method = common.koopman_method(args)
     evaluators = {
-        "Koopman": lambda H: koopman.multistep_rmse(model, X_te, U_te, H),
+        "Koopman": lambda H: koopman.multistep_rmse(model, X_te, U_te, H,
+                                                    method=k_method),
         "Fossen (BlueROV2)": fossen_evaluator(dt, X_te, U_te, method=args.integrator),
         "Double Integrator": lambda H: metrics.endpoint_rmse(di_step, X_te, U_te, H),
         "PINc (ResDNN)": lambda H: pinc.endpoint_rmse(net, params, X_te, U4_te, dt, H),

@@ -87,8 +87,10 @@ def main(argv=None):
 
     X_test = jnp.asarray(test.X, jnp.float32)
     U_test = jnp.asarray(test.U, jnp.float32)
+    k_method = common.koopman_method(args)
     evaluators = {
-        "Koopman": lambda H: koopman.multistep_rmse(model, X_test, U_test, H),
+        "Koopman": lambda H: koopman.multistep_rmse(model, X_test, U_test, H,
+                                                    method=k_method),
     }
     if args.physics_baseline:
         evaluators["Fossen (BlueROV2)"] = fossen_evaluator(

@@ -79,9 +79,11 @@ def main(argv=None):
         scan_eval=lambda H: metrics.endpoint_rmse(fossen_step, X_te, U_te, H),
     )
 
+    k_method = common.koopman_method(args)
     common.timed_metric_table(
         {
-            "Koopman": lambda H: koopman.multistep_rmse(model, X_te, U_te, H),
+            "Koopman": lambda H: koopman.multistep_rmse(model, X_te, U_te, H,
+                                                        method=k_method),
             "Fossen (wrench)": fossen_eval,
             "Double Integrator": lambda H: metrics.endpoint_rmse(di_step, X_te, U_te, H),
         }

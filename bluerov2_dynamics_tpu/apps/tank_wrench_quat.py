@@ -90,7 +90,8 @@ def main(argv=None):
         # per call over the tunnel) and ran at default-bf16 precision —
         # one code path now (models/koopman.py:multistep_rmse).
         return koopman.multistep_rmse(
-            model, X_te, U_te, H, post_decode=fossen.renormalize_quat13)
+            model, X_te, U_te, H, post_decode=fossen.renormalize_quat13,
+            method=common.koopman_method(args))
 
     common.timed_metric_table(
         {

@@ -39,6 +39,26 @@ def test_tank_koopman_app(tmp_path, capsys):
     assert "Koopman" in text and "Fossen" in text
 
 
+def test_tank_koopman_app_conv_method(tmp_path, capsys):
+    """--koopman-conv scores via the control-convolution endpoint; the
+    metric table must agree with the default scan run to f32 reassociation
+    tolerance."""
+    import re
+
+    from bluerov2_dynamics_tpu.apps import tank_koopman
+
+    def koopman_row(text):
+        row = next(ln for ln in text.splitlines()
+                   if ln.strip().startswith("Koopman") and "|" in ln)
+        return [float(v) for v in re.findall(r"\d+\.\d+", row)]
+
+    tank_koopman.main(_args(tmp_path))
+    base = koopman_row(capsys.readouterr().out)
+    tank_koopman.main(_args(tmp_path, ["--koopman-conv"]))
+    conv = koopman_row(capsys.readouterr().out)
+    np.testing.assert_allclose(conv, base, rtol=1e-3)
+
+
 def test_tank_koopman_multi_csv(tmp_path, capsys):
     """--extra-csv fits multiple recordings jointly (fit_multi path)."""
     import jax
