@@ -316,9 +316,11 @@ def multistep_rmse(model: KoopmanModel, X, U, H: int = 10,
                    method: str = "scan"):
     """Endpoint H-step RMSE over all N-H starts (``koopmanEDMDc.py:172-200``).
 
-    All starts are lifted once and propagated together; step t consumes the
-    contiguous input slice ``U[t : t+n_start]`` (no (n_start, H, r) gather
-    materialisation as in the reference).  ``precision`` sets the
+    All starts are lifted once and propagated together; the default scan
+    path's step t consumes the contiguous input slice ``U[t : t+n_start]``
+    (no (n_start, H, r) gather materialisation as in the reference —
+    ``method="conv"`` deliberately DOES build that window array to feed
+    one batched GEMM, ~143 MB at the 44.8k-start workload).  ``precision`` sets the
     propagation matmul precision — the default "highest" is the measured
     decision (see the note on :func:`evaluate`); bench's MXU section A/Bs
     the alternatives through this same code path.  ``post_decode`` (a
@@ -335,6 +337,8 @@ def multistep_rmse(model: KoopmanModel, X, U, H: int = 10,
     bench A/B row).  The default stays "scan" so blessed RESULTS tables
     are reproduced bit-for-bit; "conv" shifts RMSEs by ~5e-6 relative.
     """
+    if method not in ("scan", "conv"):
+        raise ValueError(f"method must be 'scan' or 'conv', got {method!r}")
     N = X.shape[0]
     n_start = N - H
     if n_start <= 0:  # static shape check; reference returns NaN here
@@ -342,17 +346,17 @@ def multistep_rmse(model: KoopmanModel, X, U, H: int = 10,
     Z = lift(model, X[:n_start])
     A_T, B_T = model.A.T, model.B.T
 
-    if method == "conv":
+    if H == 0:
+        pass  # zero-length propagation: reconstruction RMSE (both methods)
+    elif method == "conv":
         Z = _endpoint_conv(Z, U, A_T, B_T, H, n_start, precision)
-    elif method == "scan":
+    else:
         def body(Z, t):
             u_t = jax.lax.dynamic_slice_in_dim(U, t, n_start, axis=0)
             with jax.default_matmul_precision(precision):
                 return Z @ A_T + u_t @ B_T, None
 
         Z, _ = jax.lax.scan(body, Z, jnp.arange(H))
-    else:
-        raise ValueError(f"method must be 'scan' or 'conv', got {method!r}")
     pred = decode(model, Z)
     if post_decode is not None:
         pred = post_decode(pred)

@@ -312,6 +312,8 @@ def sharded_koopman_multistep_rmse(
     from bluerov2_dynamics_tpu.eval.metrics import rmse
     from bluerov2_dynamics_tpu.models import koopman
 
+    if method not in ("scan", "conv"):  # same contract as the twin
+        raise ValueError(f"method must be 'scan' or 'conv', got {method!r}")
     n_start = X.shape[0] - H
     if n_start <= 0:  # same NaN contract as the single-device twin
         return jnp.asarray(jnp.nan, jnp.float32)
@@ -331,7 +333,9 @@ def sharded_koopman_multistep_rmse(
         )
         A_T, B_T = model.A.T, model.B.T
 
-        if method == "conv":
+        if H == 0:
+            pass  # zero-length propagation (same contract as the twin)
+        elif method == "conv":
             Z = koopman._endpoint_conv(Z, U, A_T, B_T, H, n_start, "highest")
         else:
             def body(Z, t):

@@ -56,7 +56,9 @@ def test_tank_koopman_app_conv_method(tmp_path, capsys):
     base = koopman_row(capsys.readouterr().out)
     tank_koopman.main(_args(tmp_path, ["--koopman-conv"]))
     conv = koopman_row(capsys.readouterr().out)
-    np.testing.assert_allclose(conv, base, rtol=1e-3)
+    assert len(conv) == len(base) and len(base) >= 3  # no nan cells parsed away
+    # f32 reassociation drift over H=100 plus 6-decimal table rounding
+    np.testing.assert_allclose(conv, base, rtol=5e-3, atol=5e-6)
 
 
 def test_tank_koopman_multi_csv(tmp_path, capsys):

@@ -167,7 +167,7 @@ def test_koopman_multistep_conv_matches_scan(rng):
     X, U = jnp.asarray(X), jnp.asarray(U)  # f64 under the test config
     model = koopman.fit(jax.random.PRNGKey(0), X, U,
                         n_rbfs=12, gamma=1.0, ridge=1e-6)
-    for H in (1, 2, 7, 64, 100):
+    for H in (0, 1, 2, 7, 64, 100):
         r_scan = float(koopman.multistep_rmse(model, X, U, H, method="scan"))
         r_conv = float(koopman.multistep_rmse(model, X, U, H, method="conv"))
         np.testing.assert_allclose(r_conv, r_scan, rtol=1e-9, atol=0,

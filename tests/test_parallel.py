@@ -134,6 +134,8 @@ def test_workload_koopman_tp_multistep_d512_matches_single_device(rng, mesh2d):
                                                  method="conv"))
     np.testing.assert_allclose(got_c, want_c, rtol=1e-6)
     np.testing.assert_allclose(got_c, want, rtol=1e-3)
+    with pytest.raises(ValueError):  # same method contract as the twin
+        sharded_koopman_multistep_rmse(mesh2d, model, X, U, H, method="Conv")
 
 
 def test_workload_physics_endpoint_45k_starts_h100(rng, mesh):
