@@ -521,7 +521,8 @@ def train(
                   f"loss ~ {float(mean_loss):.6f}")
         elif (ep + 1) % 50 == 0:
             float(mean_loss)  # host readback = completion barrier
-    history = [float(x) for x in np.asarray(jnp.stack(history))]
+    if history:  # epochs=0 returns [] (jnp.stack rejects empty lists)
+        history = [float(x) for x in np.asarray(jnp.stack(history))]
     return net, params, history
 
 
