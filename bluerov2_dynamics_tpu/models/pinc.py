@@ -512,6 +512,8 @@ def train(
     # tunnel drift).  The epoch program is unchanged, so the loss history
     # and final params are bit-identical to the per-epoch-sync loop
     # (determinism re-confirmed on TPU after the change).
+    from bluerov2_dynamics_tpu.eval.timing import sync
+
     history = []  # device scalars until the final readback
     for ep in range(tc.epochs):
         params, opt_state, key, mean_loss = epoch(params, opt_state, key)
@@ -520,9 +522,20 @@ def train(
             print(f"[PINc] epoch {ep + 1:4d}/{tc.epochs} | "
                   f"loss ~ {float(mean_loss):.6f}")
         elif (ep + 1) % 50 == 0:
-            float(mean_loss)  # host readback = completion barrier
+            # per-DEVICE readback barrier: under mesh DP a replicated
+            # scalar has one shard per device, and float() would only
+            # drain shard 0's stream (eval/timing.py:sync docstring)
+            sync(mean_loss)
     if history:  # epochs=0 returns [] (jnp.stack rejects empty lists)
-        history = [float(x) for x in np.asarray(jnp.stack(history))]
+        # chunked stack: one op with tc.epochs operands would scale
+        # trace/compile cost with epoch count (and can hit XLA operand
+        # limits for very long runs); 512-operand chunks keep the
+        # single-pass readback win with a bounded op size
+        history = [
+            float(x)
+            for i in range(0, len(history), 512)
+            for x in np.asarray(jnp.stack(history[i:i + 512]))
+        ]
     return net, params, history
 
 
