@@ -564,6 +564,16 @@ def run_full(only: str | None = None):
             _data["XU"] = (sim.X, sim.U)
         return _data["XU"]
 
+    def fitted_model():
+        # shared across sections (sec_koopman stores its timed fit here so
+        # sec_mxu does not refit the identical model in the same run)
+        if "model" not in _data:
+            X, U = dataset()
+            _data["model"] = koopman.fit(jr.PRNGKey(0), X[:split], U[:split],
+                                         n_rbfs=500, gamma=3.0, ridge=1e-1)
+            jax.block_until_ready(_data["model"].A)
+        return _data["model"]
+
     rows = []
 
     def section(name, fn):
@@ -595,6 +605,7 @@ def run_full(only: str | None = None):
             warmup=1, iters=3,
         )
         rows.append(("koopman_fit_500rbf_36k_seconds", t_fit, "s", 2.30 / t_fit))
+        _data["model"] = model  # reuse in sec_mxu (same seed/hyperparams)
         _, t_k = time_fn(
             lambda: koopman.multistep_rmse(model, X[split:], U[split:], 100),
             warmup=1, iters=3,
@@ -850,30 +861,33 @@ def run_full(only: str | None = None):
         rows.append(("mxu_highest_measured_peak", hi_peak,
                      "flops/s (chained 4096^3 6-pass-f32 matmul)", None))
 
-        model = koopman.fit(jr.PRNGKey(0), X[:split], U[:split],
-                            n_rbfs=500, gamma=3.0, ridge=1e-1)
-        jax.block_until_ready(model.A)
+        model = fitted_model()
 
-        # Gram GEMM at the exact fit shapes (G^T G + G^T Y, HIGHEST)
+        # Gram GEMM at the exact fit shapes (G^T G + G^T Y, HIGHEST),
+        # timed CHAINED: the wall-clock version of this row carried the
+        # tunnel's ~60-120 ms dispatch floor over ~1 ms of device work
+        # and misread the achieved fraction ~20x low (then misattributed
+        # the gap to MXU tiling in the unit string).
         Z = koopman.lift(model, X[:split - 1])
         G = jnp.concatenate([Z, U[:split - 1]], axis=1)
         Y = koopman.lift(model, X[1:split])
 
         @jax.jit
-        def gram(G, Y):
+        def chained_gram(Gc):
             with jax.default_matmul_precision("highest"):
-                return G.T @ G, G.T @ Y
+                g1 = Gc.T @ Gc
+                g2 = Gc.T @ Y
+            return Gc.at[0, 0].add(1e-20 * (g1[0, 0] + g2[0, 0]))
 
-        _, t_gram = _time_fn(gram, G, Y, warmup=1, iters=5)
+        _, t_gram = chained_steps_per_sec(chained_gram, G, 1, 20)
         n_rows_g, d_g = G.shape
         fl_gram = 2.0 * n_rows_g * d_g * d_g + 2.0 * n_rows_g * d_g * Y.shape[1]
         rows.append(("koopman_gram_gemm_achieved_flops_per_sec",
                      fl_gram / t_gram,
-                     f"flops/s ({n_rows_g}x{d_g} Gram, HIGHEST)", None))
-        rows.append(("koopman_gram_gemm_fraction_of_highest_peak",
-                     (fl_gram / t_gram) / hi_peak,
-                     "fraction (shape-limited: M=N=520 -> ~4x4 MXU tiles)",
+                     f"flops/s ({n_rows_g}x{d_g} Gram, HIGHEST, chained)",
                      None))
+        rows.append(("koopman_gram_gemm_fraction_of_highest_peak",
+                     (fl_gram / t_gram) / hi_peak, "fraction", None))
 
         # H=100 multistep eval achieved + propagation-precision A/B
         Xe, Ue = X[split:], U[split:]
@@ -882,18 +896,28 @@ def run_full(only: str | None = None):
         d = model.A.shape[0]
 
         # A/B through the PRODUCTION evaluator (its precision kwarg), so
-        # the measurement cannot drift from the shipped code path
+        # the measurement cannot drift from the shipped code path.  The
+        # rmse VALUES are the point; the per-precision wall times carry
+        # the tunnel dispatch floor and are labeled as such.  The
+        # achieved-fraction row is computed from a CHAINED device time
+        # (wall time misread it ~3x low).
         fl_ms = 2.0 * n_start * d * (d + Ue.shape[1]) * H
         for prec in ("default", "high", "highest"):
             val, t_ms = _time_fn(
                 lambda p=prec: koopman.multistep_rmse(model, Xe, Ue, H, p),
                 warmup=1, iters=5)
             rows.append((f"koopman_h100_rmse_precision_{prec}", float(val),
-                         f"rmse (warm {t_ms * 1e3:.1f} ms, achieved "
-                         f"{fl_ms / t_ms:.3e} flops/s)", None))
-            if prec == "highest":
-                rows.append(("koopman_h100_eval_fraction_of_highest_peak",
-                             (fl_ms / t_ms) / hi_peak, "fraction", None))
+                         f"rmse (wall incl. dispatch {t_ms * 1e3:.1f} ms)",
+                         None))
+
+        @jax.jit
+        def chained_ms(Xc):
+            r = koopman.multistep_rmse(model, Xc, Ue, H, "highest")
+            return Xc.at[0, 0].add(1e-20 * r)
+
+        _, t_msd = chained_steps_per_sec(chained_ms, Xe, 1, 10)
+        rows.append(("koopman_h100_eval_fraction_of_highest_peak",
+                     (fl_ms / t_msd) / hi_peak, "fraction (chained)", None))
 
     def sec_ingest():
         # Host-side ingestion throughput: the native C++ batch CDR decoder
@@ -1004,6 +1028,12 @@ def run_full(only: str | None = None):
             TAU6 = 4.0 * jax.random.normal(ks[2], (N, 6), jnp.float32)
             X13 = 0.1 * jax.random.normal(ks[3], (N, 13), jnp.float32)
             X13 = X13.at[:, 3].add(1.0)
+            # method="euler" throughout: every app runs these evaluators
+            # with the euler step (tank_koopman.py:40, tank_wrench_comp.py:77,
+            # tank_wrench_quat.py:80; T6's default --integrator is euler) —
+            # an earlier sweep used the thruster/wrench factory default
+            # (rk4, a ~4x heavier step), i.e. tuned a kernel the apps never
+            # run.  tank_rk4 users can pass block_b explicitly.
             families = (
                 ("thruster", make_endpoint_final_pallas,
                  (p, cfg, lag, dt, H), X12, U8),
@@ -1014,7 +1044,7 @@ def run_full(only: str | None = None):
             )
             for name, build, bargs, X0, U in families:
                 for bb in (256, 512, 1024, 2048, 4096):
-                    ev = build(*bargs, block_b=bb)
+                    ev = build(*bargs, method="euler", block_b=bb)
 
                     @jax.jit
                     def f(X, X0=X0, U=U, ev=ev):
@@ -1097,12 +1127,11 @@ def main():
     if args.section is not None:
         run_full(only=args.section)
         return
-    if args.full:
-        try:
-            run_full()
-        except Exception as e:  # pragma: no cover - headline must survive
-            print(f"[warn] --full secondary benchmarks failed "
-                  f"({type(e).__name__}: {e})", file=sys.stderr)
+    # The headline is MEASURED before the --full secondary sections: the
+    # same kernel read +60% runtime when it ran after them (queued-work
+    # interference despite per-section readbacks — the reason sec_roofline
+    # runs first within run_full).  The JSON line still prints last so the
+    # driver contract (final line = headline) is unchanged.
     path = "pallas_vmem"
     try:
         runs = run_pallas(
@@ -1117,6 +1146,12 @@ def main():
                                      iters=args.iters)
         sps_runs = [steps_per_sec]
         path = "xla_scan_fallback"
+    if args.full:
+        try:
+            run_full()
+        except Exception as e:  # pragma: no cover - headline must survive
+            print(f"[warn] --full secondary benchmarks failed "
+                  f"({type(e).__name__}: {e})", file=sys.stderr)
     # Median of the repeated measurements is the reproducible headline;
     # the min..max band quantifies the tunnel's run-to-run spread.
     steps_per_sec = statistics.median(sps_runs)
