@@ -650,7 +650,7 @@ def run_full(only: str | None = None):
         X, U = dataset()
         p, cfg, lag = fossen_params(), thruster_config(), lag_params(dt)
         fe = make_endpoint_final_pallas(p, cfg, lag, dt, 100, method="euler",
-                                        block_b=1024)
+                                        block_b=2048)
         run_f = jax.jit(lambda X, U: rmse(X[100:].astype(jnp.float32), fe(X, U)))
         _, t_f = time_fn(run_f, X[split:], U[split:], warmup=1, iters=3)
         rows.append(("fossen_h100_eval_seconds", t_f, "s", 1246.7 / t_f))

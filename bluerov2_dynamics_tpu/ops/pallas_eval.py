@@ -180,7 +180,7 @@ def make_endpoint_final_pallas(
     dt: float,
     H: int,
     method: str = "rk4",
-    block_b: int = 1024,
+    block_b: int = 2048,
     interpret: bool = False,
     use_lag: bool = True,
 ):
@@ -191,16 +191,17 @@ def make_endpoint_final_pallas(
     rollouts (fresh zero lag state per start).  Feed into
     ``rmse(X[H:], final)`` for the metric.
 
-    ``block_b=1024`` from the round-5 chained on-chip sweep
+    ``block_b=2048`` from the round-5 chained on-chip sweep
     (``bench.py --section window_blocks``, H=100) at the REAL app
     shapes, so the padding to a block multiple is priced in (9,165
     starts — the test split's row count; the app itself runs rows-H =
     9,065 starts, an identical padding class — pad 34% dead rows at
-    block 4096): useful steps/s
-    3.4/5.1/**6.6**/6.4/4.9 e8 at 256/512/1024/2048/4096 on 9,165
-    starts and 3.6/5.7/**7.3**/7.1/6.7 e8 on 44,800 — 1024 wins both
-    shapes (the (3, 8, b) lag scratch makes larger blocks VMEM-heavier
-    than the wrench/quat kernels).
+    block 4096), with ``method="euler"`` — the step every app actually
+    runs (an earlier sweep used this factory's rk4 default and tuned
+    1024).  Two independent euler captures agree 2048 wins or ties both
+    shapes: useful steps/s 5.8-8.8 e8 at 1024 vs **7.1-10.3 e8** at
+    2048 on 9,165 starts, 6.7-14.8 e8 vs **10.6-15.4 e8** on 44,800
+    (4096 flips run to run and pays the padding at 9,165).
     """
     kernel = _make_thruster_window_kernel(p, cfg, lag, dt, method, use_lag)
     return make_window_eval_fn(

@@ -201,7 +201,7 @@ def shardmap_endpoint_rmse_pallas(
     dt: float,
     H: int,
     method: str = "rk4",
-    block_b: int = 1024,
+    block_b: int = 2048,
     interpret: bool = False,
     use_lag: bool = True,
     data_axis: str = "data",

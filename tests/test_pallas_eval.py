@@ -161,8 +161,10 @@ def test_rows_stepper_rejects_unknown_method():
 
 def test_tuned_block_defaults_pinned():
     """Pin the measured block_b defaults (RESULTS.md S8 window-block sweep +
-    the rollout sweeps): thruster-euler12 window 1024, wrench/quat window
-    2048, rollout kernels 2048 (euler12 + quat13), batched-rollout 1024.
+    the rollout sweeps): every window evaluator 2048 (the thruster default
+    moved 1024 -> 2048 when the sweep was re-run with the euler step the
+    apps actually use — the 1024 was tuned on the rk4 factory default),
+    rollout kernels 2048 (euler12 + quat13), batched-rollout 1024.
     A silent default drift would invalidate every blessed timing row, so a
     deliberate retune must update this test alongside RESULTS.md."""
     import inspect
@@ -173,7 +175,7 @@ def test_tuned_block_defaults_pinned():
     def default(fn):
         return inspect.signature(fn).parameters["block_b"].default
 
-    assert default(pallas_eval.make_endpoint_final_pallas) == 1024
+    assert default(pallas_eval.make_endpoint_final_pallas) == 2048
     assert default(pallas_eval.make_endpoint_final_pallas_wrench) == 2048
     assert default(pallas_eval.make_batched_rollout_pallas) == 1024
     assert default(pallas_quat.make_endpoint_final_pallas_quat) == 2048
@@ -181,6 +183,6 @@ def test_tuned_block_defaults_pinned():
     assert default(pallas_rollout.make_rollout_final_pallas) == 2048
     assert default(pallas_rollout.rollout_final_pallas) == 2048
     # sharded wrappers must agree with their single-device kernels
-    assert default(sharded.shardmap_endpoint_rmse_pallas) == 1024
+    assert default(sharded.shardmap_endpoint_rmse_pallas) == 2048
     assert default(sharded.shardmap_endpoint_rmse_pallas_wrench) == 2048
     assert default(sharded.shardmap_endpoint_rmse_pallas_quat) == 2048
