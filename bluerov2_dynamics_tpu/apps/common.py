@@ -84,6 +84,70 @@ def koopman_method(args) -> str:
     return "conv" if getattr(args, "koopman_conv", False) else "scan"
 
 
+def add_sysid_args(ap: argparse.ArgumentParser) -> None:
+    """CLI options for the differentiable Fossen coefficient fit
+    (:mod:`bluerov2_dynamics_tpu.models.sysid` — TPU-native extension; the
+    reference hard-codes its Table A1 coefficients)."""
+    g = ap.add_argument_group("differentiable Fossen fit (extension)")
+    g.add_argument("--fossen-fit", action="store_true",
+                   help="fit the 23 Table A1 coefficients to the training "
+                        "split by gradient descent through the rollout and "
+                        "report a 'Fossen (fitted)' metric row (the nominal "
+                        "Fossen row is unchanged)")
+    g.add_argument("--fossen-fit-steps", type=int, default=300,
+                   help="Adam iterations (full-batch, one compiled scan)")
+    g.add_argument("--fossen-fit-horizon", type=int, default=10,
+                   help="multi-step prediction-loss window length")
+    g.add_argument("--fossen-fit-lr", type=float, default=0.02,
+                   help="Adam learning rate in log-scale space")
+    g.add_argument("--fossen-fit-gains", action="store_true",
+                   help="additionally fit 8 per-thruster gain factors "
+                        "(actuator asymmetry; thruster-input workloads only)")
+    g.add_argument("--fossen-fit-delay", type=int, choices=(0, 1), default=None,
+                   help="which command drives the step from X[k]: 0 = U[k] "
+                        "(evaluator/reference convention, right for real "
+                        "recordings), 1 = U[k+1] (the generated datasets' "
+                        "discrete pairing; see sysid.fit_thruster). Default: "
+                        "1 for generated data, 0 for CSV data")
+
+
+def fit_fossen_from_args(args, X_tr, U_tr, dt, kind: str = "thruster",
+                         method: str = "euler", state: str = "euler12"):
+    """Run the differentiable coefficient fit when ``--fossen-fit`` is set.
+
+    Returns a :class:`~bluerov2_dynamics_tpu.models.sysid.SysidResult` (or
+    ``None`` when the flag is off) and prints the fit summary.  ``kind``
+    selects the input contract: ``"thruster"`` (u1..u8 datasets) or
+    ``"wrench"`` (Fx..Mz datasets, with ``state`` euler12/quat13).
+    """
+    if not getattr(args, "fossen_fit", False):
+        return None
+    from bluerov2_dynamics_tpu.eval.timing import time_fn
+    from bluerov2_dynamics_tpu.models import sysid
+
+    delay = args.fossen_fit_delay
+    if delay is None:
+        # generated datasets record each command next to the state it
+        # PRODUCED (see sysid.fit_thruster docstring); real CSVs pair U[k]
+        # with the state it is about to act on
+        delay = 0 if args.csv else 1
+    kwargs = dict(horizon=args.fossen_fit_horizon, steps=args.fossen_fit_steps,
+                  lr=args.fossen_fit_lr, method=method, input_delay=delay)
+    if kind == "thruster":
+        fit = lambda: sysid.fit_thruster(
+            X_tr, U_tr, dt, fit_gains=args.fossen_fit_gains, **kwargs)
+    elif kind == "wrench":
+        fit = lambda: sysid.fit_wrench(X_tr, U_tr, dt, state=state, **kwargs)
+    else:
+        raise ValueError(f"unknown sysid kind {kind!r}")
+    res, t_fit = time_fn(fit, warmup=0)
+    ok(f"Fossen coefficients fitted ({args.fossen_fit_steps} Adam steps, "
+       f"horizon {args.fossen_fit_horizon}, input delay {delay}): loss "
+       f"{float(res.losses[0]):.3e} -> {float(res.losses[-1]):.3e} "
+       f"in {t_fit:.2f} s (incl. compile)")
+    return res
+
+
 def load_or_generate(args, loader: Callable = csv_loader.load_thruster_dataset):
     """Load the CSV named by --csv (or discovered), or generate synthetic."""
     if args.synthetic or args.csv is None:

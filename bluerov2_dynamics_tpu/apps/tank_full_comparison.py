@@ -57,6 +57,7 @@ def main(argv=None):
     ap.add_argument("--json-out", type=str, default=None,
                     help="write metrics + timings as JSON to this path "
                          "(machine-readable run record)")
+    common.add_sysid_args(ap)
     args = ap.parse_args(argv)
 
     ds = common.load_or_generate(args, csv_loader.load_thruster_dataset)
@@ -213,6 +214,13 @@ def main(argv=None):
     if args.pinc_psi_ssa:
         evaluators["PINc (ssa psi)"] = lambda H: pinc.endpoint_rmse(
             net, params, X_te, U4_te, dt, H, psi_error="ssa"
+        )
+    fit_res = common.fit_fossen_from_args(
+        args, X_tr, U_tr, dt, kind="thruster", method=args.integrator)
+    if fit_res is not None:
+        evaluators["Fossen (fitted)"] = fossen_evaluator(
+            dt, X_te, U_te, method=args.integrator,
+            p=fit_res.params, cfg=fit_res.cfg,
         )
     rmses, times = common.timed_metric_table(evaluators)
     if args.json_out:

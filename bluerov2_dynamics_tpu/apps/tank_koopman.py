@@ -22,16 +22,20 @@ from bluerov2_dynamics_tpu.models.params import fossen_params, lag_params, thrus
 from bluerov2_dynamics_tpu.utils.log import info, ok
 
 
-def fossen_evaluator(dt, X_test, U_test, method="euler"):
+def fossen_evaluator(dt, X_test, U_test, method="euler", p=None, cfg=None):
     """fn(H) -> endpoint RMSE of the full thruster-input physics model.
 
     On TPU the VMEM-resident Pallas evaluator is used (35x faster than the
-    XLA scan at H=100); elsewhere the scan evaluator runs.
+    XLA scan at H=100); elsewhere the scan evaluator runs.  ``p``/``cfg``
+    default to the nominal Table A1 set; passing fitted values (e.g. a
+    ``sysid.fit_thruster`` result) evaluates the calibrated model through
+    the identical path — the Pallas kernels bake whatever concrete
+    coefficients they are built with.
     """
     from bluerov2_dynamics_tpu.ops.pallas_eval import make_endpoint_final_pallas
 
-    p = fossen_params()
-    cfg = thruster_config()
+    p = p if p is not None else fossen_params()
+    cfg = cfg if cfg is not None else thruster_config()
     lag = lag_params(dt)
     step = fossen.make_thruster_step(p, cfg, lag, dt, method=method)
     return common.endpoint_evaluator_with_pallas(
@@ -61,6 +65,7 @@ def main(argv=None):
                     help="load a previously saved model instead of fitting "
                          "(the Koopman analogue of the reference's PINc "
                          "checkpoint skip-if-exists flow)")
+    common.add_sysid_args(ap)
     args = ap.parse_args(argv)
 
     ds = common.load_or_generate(args, csv_loader.load_thruster_dataset)
@@ -95,6 +100,14 @@ def main(argv=None):
     if args.physics_baseline:
         evaluators["Fossen (BlueROV2)"] = fossen_evaluator(
             float(ds.dt), jnp.asarray(test.X), jnp.asarray(test.U)
+        )
+    fit_res = common.fit_fossen_from_args(
+        args, jnp.asarray(train.X, jnp.float32), jnp.asarray(train.U, jnp.float32),
+        float(ds.dt), kind="thruster",
+    )
+    if fit_res is not None:
+        evaluators["Fossen (fitted)"] = fossen_evaluator(
+            float(ds.dt), X_test, U_test, p=fit_res.params, cfg=fit_res.cfg
         )
     common.timed_metric_table(evaluators)
 

@@ -35,6 +35,7 @@ def synthetic_wrench_dataset(args) -> csv_loader.Dataset:
 
 def main(argv=None):
     ap = common.base_parser(__doc__)
+    common.add_sysid_args(ap)
     args = ap.parse_args(argv)
 
     if args.synthetic or args.csv is None:
@@ -80,14 +81,24 @@ def main(argv=None):
     )
 
     k_method = common.koopman_method(args)
-    common.timed_metric_table(
-        {
-            "Koopman": lambda H: koopman.multistep_rmse(model, X_te, U_te, H,
-                                                        method=k_method),
-            "Fossen (wrench)": fossen_eval,
-            "Double Integrator": lambda H: metrics.endpoint_rmse(di_step, X_te, U_te, H),
-        }
-    )
+    evaluators = {
+        "Koopman": lambda H: koopman.multistep_rmse(model, X_te, U_te, H,
+                                                    method=k_method),
+        "Fossen (wrench)": fossen_eval,
+        "Double Integrator": lambda H: metrics.endpoint_rmse(di_step, X_te, U_te, H),
+    }
+    fit_res = common.fit_fossen_from_args(args, X_tr, U_tr, dt, kind="wrench")
+    if fit_res is not None:
+        fitted_step = fossen.make_wrench_step(
+            fit_res.params, dt, method="euler", state="euler12")
+        evaluators["Fossen (fitted)"] = common.endpoint_evaluator_with_pallas(
+            X_te, U_te,
+            build_pallas=lambda H: make_endpoint_final_pallas_wrench(
+                fit_res.params, dt, H, method="euler"
+            ),
+            scan_eval=lambda H: metrics.endpoint_rmse(fitted_step, X_te, U_te, H),
+        )
+    common.timed_metric_table(evaluators)
 
     start, horizon = common.open_loop_window(test.X, args.open_loop_steps)
     x0 = X_te[start]

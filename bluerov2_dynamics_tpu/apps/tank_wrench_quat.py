@@ -36,6 +36,7 @@ def synthetic_quat_dataset(args) -> csv_loader.Dataset:
 
 def main(argv=None):
     ap = common.base_parser(__doc__)
+    common.add_sysid_args(ap)
     args = ap.parse_args(argv)
 
     if args.synthetic or args.csv is None:
@@ -93,13 +94,24 @@ def main(argv=None):
             model, X_te, U_te, H, post_decode=fossen.renormalize_quat13,
             method=common.koopman_method(args))
 
-    common.timed_metric_table(
-        {
-            "Koopman (quat)": koopman_eval,
-            "Fossen (quat)": fossen_eval,
-            "DI (quat)": lambda H: metrics.endpoint_rmse(di_step, X_te, U_te, H),
-        }
-    )
+    evaluators = {
+        "Koopman (quat)": koopman_eval,
+        "Fossen (quat)": fossen_eval,
+        "DI (quat)": lambda H: metrics.endpoint_rmse(di_step, X_te, U_te, H),
+    }
+    fit_res = common.fit_fossen_from_args(
+        args, X_tr, U_tr, dt, kind="wrench", state="quat13")
+    if fit_res is not None:
+        fitted_step = fossen.make_wrench_step(
+            fit_res.params, dt, method="euler", state="quat13")
+        evaluators["Fossen (fitted)"] = common.endpoint_evaluator_with_pallas(
+            X_te, U_te,
+            build_pallas=lambda H: make_endpoint_final_pallas_quat(
+                fit_res.params, dt, H, method="euler"
+            ),
+            scan_eval=lambda H: metrics.endpoint_rmse(fitted_step, X_te, U_te, H),
+        )
+    common.timed_metric_table(evaluators)
 
     start, horizon = common.open_loop_window(test.X, args.open_loop_steps)
     x0 = X_te[start]
