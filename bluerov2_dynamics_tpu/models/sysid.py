@@ -312,6 +312,7 @@ def fit_wrench(
     *,
     method: str = "euler",
     state: str = "euler12",
+    input_delay: int = 0,
     mesh=None,
     dtype=jnp.float32,
 ) -> SysidResult:
@@ -320,7 +321,10 @@ def fit_wrench(
     ``X``: ``(N, 12)`` or ``(N, 13)`` states matching ``state``; ``TAU``:
     ``(N, 6)`` recorded body wrenches (the T3/T4 dataset contract).  The
     quat13 step renormalizes the quaternion after every step, matching the
-    apps' evaluator semantics.
+    apps' evaluator semantics.  ``input_delay`` as in :func:`fit_thruster`
+    (the synthetic wrench datasets are the thruster generator's recordings
+    with commands mapped through the effectiveness matrix, so they inherit
+    its command-next-to-produced-state pairing).
     """
     n_state = {"euler12": 12, "quat13": 13}.get(state)
     if n_state is None:
@@ -331,7 +335,9 @@ def fit_wrench(
         raise ValueError(f"X must be (N, {n_state}) for {state}, got {X.shape}")
     if TAU.shape[0] != X.shape[0] or TAU.ndim != 2 or TAU.shape[1] != 6:
         raise ValueError(f"TAU must be ({X.shape[0]}, 6), got {TAU.shape}")
-    n_start = X.shape[0] - horizon
+    if input_delay not in (0, 1):
+        raise ValueError(f"input_delay must be 0 or 1, got {input_delay}")
+    n_start = X.shape[0] - horizon - input_delay
     if n_start <= 0:
         raise ValueError(f"horizon {horizon} >= dataset length {X.shape[0]}")
 
@@ -341,7 +347,8 @@ def fit_wrench(
         p = params_from_scales(jnp.exp(theta["s"]), dtype=dtype)
         step = fossen.make_wrench_step(p, dt, method, state)
         return _window_loss(
-            step, x0, lambda carry: carry, X, TAU, horizon, n_start
+            step, x0, lambda carry: carry, X, TAU, horizon, n_start,
+            input_delay,
         )
 
     theta, losses = _run_adam(loss_fn, {"s": jnp.zeros(23, dtype)}, steps, lr)

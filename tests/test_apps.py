@@ -423,3 +423,45 @@ def test_tank_full_comparison_pinc_dp(tmp_path):
     )
     assert ckpt.exists()
     assert np.all(np.isfinite(out["rmses"]["PINc (ResDNN)"][1]))
+
+
+@pytest.mark.parametrize("app_name, extra", [
+    ("tank_koopman", ["--physics-baseline"]),
+    ("tank_wrench_comp", []),
+    ("tank_wrench_quat", []),
+])
+def test_fossen_fit_flag(tmp_path, capsys, app_name, extra):
+    """--fossen-fit adds a finite 'Fossen (fitted)' metric row in every
+    input contract (thruster / wrench-euler12 / wrench-quat13)."""
+    import importlib
+
+    app = importlib.import_module(f"bluerov2_dynamics_tpu.apps.{app_name}")
+    app.main(_args(tmp_path, [
+        *extra, "--fossen-fit", "--fossen-fit-steps", "5",
+        "--fossen-fit-horizon", "3",
+    ]))
+    text = capsys.readouterr().out
+    assert "Fossen coefficients fitted" in text
+    row = next(ln for ln in text.splitlines()
+               if ln.strip().startswith("Fossen (fitted)"))
+    vals = [float(v) for v in row.split("|")[1:]]
+    assert len(vals) >= 3 and np.all(np.isfinite(vals)), row
+
+
+def test_flagship_fossen_fit_gains(tmp_path, capsys):
+    """Flagship --fossen-fit --fossen-fit-gains end to end (fitted cfg is
+    threaded into the evaluator)."""
+    from bluerov2_dynamics_tpu.apps import tank_full_comparison
+
+    tank_full_comparison.main(
+        _args(tmp_path, [
+            "--pinc-epochs", "2",
+            "--pinc-hidden", "16", "16",
+            "--pinc-ckpt", str(tmp_path / "pinc_ff.msgpack"),
+            "--fossen-fit", "--fossen-fit-steps", "5",
+            "--fossen-fit-horizon", "3", "--fossen-fit-gains",
+        ])
+    )
+    text = capsys.readouterr().out
+    assert "Fossen coefficients fitted" in text
+    assert "Fossen (fitted)" in text
