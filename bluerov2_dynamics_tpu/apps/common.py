@@ -103,6 +103,9 @@ def add_sysid_args(ap: argparse.ArgumentParser) -> None:
     g.add_argument("--fossen-fit-gains", action="store_true",
                    help="additionally fit 8 per-thruster gain factors "
                         "(actuator asymmetry; thruster-input workloads only)")
+    g.add_argument("--fossen-fit-current", action="store_true",
+                   help="additionally estimate a constant ambient NED "
+                        "current (3 additive parameters, m/s)")
     g.add_argument("--fossen-fit-delay", type=int, choices=(0, 1), default=None,
                    help="which command drives the step from X[k]: 0 = U[k] "
                         "(evaluator/reference convention, right for real "
@@ -132,7 +135,8 @@ def fit_fossen_from_args(args, X_tr, U_tr, dt, kind: str = "thruster",
         # with the state it is about to act on
         delay = 0 if args.csv else 1
     kwargs = dict(horizon=args.fossen_fit_horizon, steps=args.fossen_fit_steps,
-                  lr=args.fossen_fit_lr, method=method, input_delay=delay)
+                  lr=args.fossen_fit_lr, method=method, input_delay=delay,
+                  fit_current=args.fossen_fit_current)
     if kind == "thruster":
         fit = lambda: sysid.fit_thruster(
             X_tr, U_tr, dt, fit_gains=args.fossen_fit_gains, **kwargs)
@@ -145,6 +149,9 @@ def fit_fossen_from_args(args, X_tr, U_tr, dt, kind: str = "thruster",
        f"horizon {args.fossen_fit_horizon}, input delay {delay}): loss "
        f"{float(res.losses[0]):.3e} -> {float(res.losses[-1]):.3e} "
        f"in {t_fit:.2f} s (incl. compile)")
+    if res.current is not None:
+        c = [f"{v:+.4f}" for v in res.current.tolist()]
+        ok(f"Estimated ambient NED current [m/s]: [{', '.join(c)}]")
     return res
 
 

@@ -118,6 +118,7 @@ class SysidResult(NamedTuple):
     log_scales: jnp.ndarray        # (23,) fitted log-scale factors
     log_gains: Optional[jnp.ndarray]  # (8,) fitted per-thruster log-gains or None
     losses: jnp.ndarray            # (steps,) training-loss history
+    current: Optional[jnp.ndarray] = None  # (3,) fitted NED current [m/s] or None
 
 
 def _window_loss(step, carry0, get_state, X, U, horizon: int, n_start: int,
@@ -217,6 +218,7 @@ def fit_thruster(
     use_lag: bool = True,
     lag_warmup: bool = True,
     fit_gains: bool = False,
+    fit_current: bool = False,
     input_delay: int = 0,
     cfg: Optional[ThrusterConfig] = None,
     lag: Optional[LagParams] = None,
@@ -229,7 +231,10 @@ def fit_thruster(
     commands (the T2/T5/T6 dataset contract).  ``fit_gains=True``
     additionally learns 8 per-thruster gain factors (scaling the wrench-map
     rows) — actuator asymmetry that no coefficient of the nominal model can
-    express.  ``mesh`` (optional, first axis used) shards the window-start
+    express.  ``fit_current=True`` additionally estimates a constant
+    ambient NED current (3 additive parameters in m/s — additive because
+    the nominal is zero; the generator's ``current`` kwarg is the test
+    oracle).  ``mesh`` (optional, first axis used) shards the window-start
     batch data-parallel; results are mesh-invariant (tested).
 
     Gradients flow through the ZOH lag filter exactly as the evaluator
@@ -265,6 +270,8 @@ def fit_thruster(
     theta0 = {"s": jnp.zeros(23, dtype)}
     if fit_gains:
         theta0["g"] = jnp.zeros(8, dtype)
+    if fit_current:
+        theta0["c"] = jnp.zeros(3, dtype)
     x0 = _constrain(X[:n_start], mesh)
     if use_lag and lag_warmup:
         hist = lag_history(cfg, lag, U)
@@ -273,7 +280,10 @@ def fit_thruster(
         lag0 = jnp.zeros((n_start, 8, 3), dtype)
 
     def loss_fn(theta):
-        p = params_from_scales(jnp.exp(theta["s"]), dtype=dtype)
+        p = params_from_scales(
+            jnp.exp(theta["s"]), current=theta.get("c", (0.0, 0.0, 0.0)),
+            dtype=dtype,
+        )
         c = cfg
         if fit_gains:
             c = cfg._replace(
@@ -286,7 +296,10 @@ def fit_thruster(
         )
 
     theta, losses = _run_adam(loss_fn, theta0, steps, lr)
-    fitted = params_from_scales(jnp.exp(theta["s"]), dtype=dtype)
+    fitted = params_from_scales(
+        jnp.exp(theta["s"]), current=theta.get("c", (0.0, 0.0, 0.0)),
+        dtype=dtype,
+    )
     log_gains = theta.get("g")
     fitted_cfg = cfg
     if fit_gains:
@@ -299,6 +312,7 @@ def fit_thruster(
         log_scales=theta["s"],
         log_gains=log_gains,
         losses=losses,
+        current=theta.get("c"),
     )
 
 
@@ -312,6 +326,7 @@ def fit_wrench(
     *,
     method: str = "euler",
     state: str = "euler12",
+    fit_current: bool = False,
     input_delay: int = 0,
     mesh=None,
     dtype=jnp.float32,
@@ -321,10 +336,10 @@ def fit_wrench(
     ``X``: ``(N, 12)`` or ``(N, 13)`` states matching ``state``; ``TAU``:
     ``(N, 6)`` recorded body wrenches (the T3/T4 dataset contract).  The
     quat13 step renormalizes the quaternion after every step, matching the
-    apps' evaluator semantics.  ``input_delay`` as in :func:`fit_thruster`
-    (the synthetic wrench datasets are the thruster generator's recordings
-    with commands mapped through the effectiveness matrix, so they inherit
-    its command-next-to-produced-state pairing).
+    apps' evaluator semantics.  ``fit_current`` / ``input_delay`` as in
+    :func:`fit_thruster` (the synthetic wrench datasets are the thruster
+    generator's recordings with commands mapped through the effectiveness
+    matrix, so they inherit its command-next-to-produced-state pairing).
     """
     n_state = {"euler12": 12, "quat13": 13}.get(state)
     if n_state is None:
@@ -342,20 +357,30 @@ def fit_wrench(
         raise ValueError(f"horizon {horizon} >= dataset length {X.shape[0]}")
 
     x0 = _constrain(X[:n_start], mesh)
+    theta0 = {"s": jnp.zeros(23, dtype)}
+    if fit_current:
+        theta0["c"] = jnp.zeros(3, dtype)
 
     def loss_fn(theta):
-        p = params_from_scales(jnp.exp(theta["s"]), dtype=dtype)
+        p = params_from_scales(
+            jnp.exp(theta["s"]), current=theta.get("c", (0.0, 0.0, 0.0)),
+            dtype=dtype,
+        )
         step = fossen.make_wrench_step(p, dt, method, state)
         return _window_loss(
             step, x0, lambda carry: carry, X, TAU, horizon, n_start,
             input_delay,
         )
 
-    theta, losses = _run_adam(loss_fn, {"s": jnp.zeros(23, dtype)}, steps, lr)
+    theta, losses = _run_adam(loss_fn, theta0, steps, lr)
     return SysidResult(
-        params=params_from_scales(jnp.exp(theta["s"]), dtype=dtype),
+        params=params_from_scales(
+            jnp.exp(theta["s"]), current=theta.get("c", (0.0, 0.0, 0.0)),
+            dtype=dtype,
+        ),
         cfg=None,
         log_scales=theta["s"],
         log_gains=None,
         losses=losses,
+        current=theta.get("c"),
     )
