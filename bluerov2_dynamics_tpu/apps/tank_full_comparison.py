@@ -262,10 +262,18 @@ def main(argv=None):
     predD, tDc, tD = rollout_timer(sim_di, x0, U_seq)
     sim_pinc = jax.jit(lambda x0, U4: pinc.simulate(net, params, x0, U4, dt))
     predP, tPc, tP = rollout_timer(sim_pinc, x0, U4_te[start : start + horizon])
-    common.print_rollout_timings(
-        {"Koopman": (tKc, tK), "Fossen (BlueROV2)": (tFc, tF),
-         "Double Integrator": (tDc, tD), "PINc (ResDNN)": (tPc, tP)}
-    )
+    rollout_times = {"Koopman": (tKc, tK), "Fossen (BlueROV2)": (tFc, tF),
+                     "Double Integrator": (tDc, tD), "PINc (ResDNN)": (tPc, tP)}
+    predFit = None
+    if fit_res is not None:
+        sim_fit = jax.jit(
+            lambda x0, U: fossen.simulate_thruster(
+                fit_res.params, fit_res.cfg, lag, x0, U, dt,
+                method=args.integrator)
+        )
+        predFit, tXc, tX = rollout_timer(sim_fit, x0, U_seq)
+        rollout_times["Fossen (fitted)"] = (tXc, tX)
+    common.print_rollout_timings(rollout_times)
 
     true = test.X[start : start + horizon + 1]
     trajs = {
@@ -275,6 +283,8 @@ def main(argv=None):
         "DOUBLE INTEGRATOR": np.asarray(predD),
         "PINc (ResDNN)": np.asarray(predP),
     }
+    if predFit is not None:
+        trajs["FOSSEN (fitted)"] = np.asarray(predFit)
     if not args.no_media:
         from bluerov2_dynamics_tpu.viz import animate_topdown, plot_topdown_with_depth
 
@@ -288,6 +298,26 @@ def main(argv=None):
             dt=dt, seconds=10.0,
             save_path=f"{args.media_dir}/{args.media_prefix}tank_true_vs_4models_2D.png",
         )
+        if fit_res is not None:
+            from bluerov2_dynamics_tpu.models.sysid import COEFF_NAMES
+            from bluerov2_dynamics_tpu.viz import plot_coefficient_scales
+
+            true_scales = None
+            if (args.synthetic or args.csv is None) and getattr(
+                    args, "recording", False):
+                # generated pseudo recording: the generator's perturbation
+                # draws are reproducible from the seed — plot ground truth
+                from bluerov2_dynamics_tpu.data.synthetic import (
+                    recording_coefficient_draws,
+                )
+
+                true_scales = recording_coefficient_draws(
+                    jax.random.PRNGKey(args.seed), args.coeff_jitter)
+            plot_coefficient_scales(
+                np.exp(np.asarray(fit_res.log_scales, np.float64)),
+                COEFF_NAMES, true_scales=true_scales,
+                save_path=f"{args.media_dir}/{args.media_prefix}fossen_fit_scales.png",
+            )
     return {"rmses": rmses, "trajs": trajs}
 
 

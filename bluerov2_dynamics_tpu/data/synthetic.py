@@ -15,6 +15,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bluerov2_dynamics_tpu.models.fossen import make_thruster_step
 from bluerov2_dynamics_tpu.models.params import (
@@ -131,6 +132,24 @@ def perturbed_fossen_params(key, jitter: float = 0.10, dtype=jnp.float32) -> Fos
         damping_quad=tuple(a * s for a, s in
                            zip((-141.0, -217.0, -190.0, -1.19, -0.47, -1.5), d[17:23])),
         dtype=dtype,
+    )
+
+
+def recording_coefficient_draws(key, jitter: float = 0.10) -> np.ndarray:
+    """The 23 coefficient scale factors :func:`generate_tank_recording`
+    perturbed its generator with, for the same ``key``/``jitter``.
+
+    Ground truth for system-identification validation
+    (``models/sysid.py``): must mirror the draw inside
+    :func:`perturbed_fossen_params` and the key split inside
+    :func:`generate_tank_recording` exactly (pinned by
+    ``tests/test_sysid.py``).
+    """
+    k_p = jax.random.split(key, 4)[0]
+    return np.asarray(
+        jax.random.uniform(k_p, (23,), minval=1.0 - jitter,
+                           maxval=1.0 + jitter),
+        np.float64,
     )
 
 

@@ -59,6 +59,16 @@ NOMINAL_COEFFS = (
     -141.0, -217.0, -190.0, -1.19, -0.47, -1.5,
 )
 
+# SNAME-notation labels for the 23 coefficients, same order (the reference
+# uses these symbols in its Table A1 block, fossen/BlueROV2.py:79-140).
+COEFF_NAMES = (
+    "m", "V",
+    "Ix", "Iy", "Iz",
+    "Xud", "Yvd", "Zwd", "Kpd", "Mqd", "Nrd",
+    "Xu", "Yv", "Zw", "Kp", "Mq", "Nr",
+    "Xuu", "Yvv", "Zww", "Kpp", "Mqq", "Nrr",
+)
+
 
 def params_from_scales(
     scales,

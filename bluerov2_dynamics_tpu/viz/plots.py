@@ -119,3 +119,47 @@ def plot_topdown_with_depth(
     plt.close(fig)
     print(f"[ok] 2D trajectory figure saved -> {save_path}")
     return save_path
+
+
+def plot_coefficient_scales(
+    fitted_scales,
+    names,
+    true_scales=None,
+    save_path: str = "media/fossen_fit_scales.png",
+    dpi: int = 200,
+):
+    """Bar chart of fitted coefficient scale factors vs the nominal 1.0
+    (and, when known — generated datasets — the generator's true draws).
+
+    Companion figure for ``models/sysid.py``: shows WHICH Table A1
+    coefficients the differentiable fit moved and by how much.  No
+    reference counterpart (the reference's coefficients are hard-coded).
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fitted = np.asarray(fitted_scales, np.float64)
+    k = len(fitted)
+    x = np.arange(k)
+    fig, ax = plt.subplots(figsize=(10, 4), dpi=dpi)
+    ax.bar(x, fitted - 1.0, bottom=1.0, width=0.62, label="fitted",
+           color="#3b7dd8", zorder=3)
+    if true_scales is not None:
+        t = np.asarray(true_scales, np.float64)
+        ax.scatter(x, t, marker="_", s=320, linewidths=2.2, color="#d04a35",
+                   label="generator truth", zorder=4)
+    ax.axhline(1.0, color="0.3", linewidth=1.0, zorder=2)
+    ax.set_xticks(x)
+    ax.set_xticklabels(list(names)[:k], rotation=60, fontsize=8)
+    ax.set_ylabel("scale factor (nominal = 1)", fontsize=10)
+    ax.set_title("Differentiable Fossen fit: coefficient scale factors",
+                 fontsize=11)
+    ax.grid(True, axis="y", alpha=0.3, zorder=0)
+    ax.legend(fontsize=9)
+    fig.tight_layout()
+    Path(save_path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(save_path, dpi=dpi, bbox_inches="tight")
+    plt.close(fig)
+    print(f"[ok] Coefficient-scales figure saved -> {save_path}")
+    return save_path

@@ -453,7 +453,7 @@ def test_flagship_fossen_fit_gains(tmp_path, capsys):
     threaded into the evaluator)."""
     from bluerov2_dynamics_tpu.apps import tank_full_comparison
 
-    tank_full_comparison.main(
+    out = tank_full_comparison.main(
         _args(tmp_path, [
             "--pinc-epochs", "2",
             "--pinc-hidden", "16", "16",
@@ -465,3 +465,23 @@ def test_flagship_fossen_fit_gains(tmp_path, capsys):
     text = capsys.readouterr().out
     assert "Fossen coefficients fitted" in text
     assert "Fossen (fitted)" in text
+    # the fitted model joins the open-loop rollout + media panels
+    assert "FOSSEN (fitted)" in out["trajs"]
+    assert np.all(np.isfinite(out["trajs"]["FOSSEN (fitted)"]))
+
+
+def test_flagship_fossen_fit_scales_figure(tmp_path):
+    """--fossen-fit with media on writes the coefficient-scales figure
+    (with generator ground truth on the pseudo recording)."""
+    from bluerov2_dynamics_tpu.apps import tank_full_comparison
+
+    args = _args(tmp_path, [
+        "--recording",
+        "--pinc-epochs", "2", "--pinc-hidden", "16", "16",
+        "--pinc-ckpt", str(tmp_path / "pinc_fig.msgpack"),
+        "--fossen-fit", "--fossen-fit-steps", "4", "--fossen-fit-horizon", "3",
+        "--open-loop-steps", "20",
+    ])
+    args.remove("--no-media")
+    tank_full_comparison.main(args)
+    assert (tmp_path / "media" / "fossen_fit_scales.png").exists()
