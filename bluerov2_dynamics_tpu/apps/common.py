@@ -106,6 +106,10 @@ def add_sysid_args(ap: argparse.ArgumentParser) -> None:
     g.add_argument("--fossen-fit-current", action="store_true",
                    help="additionally estimate a constant ambient NED "
                         "current (3 additive parameters, m/s)")
+    g.add_argument("--fossen-fit-stderr", action="store_true",
+                   help="report Gauss-Newton/Laplace standard errors per "
+                        "coefficient (identifiability diagnostic; "
+                        "jax.hessian through the rollout)")
     g.add_argument("--fossen-fit-delay", type=int, choices=(0, 1), default=None,
                    help="which command drives the step from X[k]: 0 = U[k] "
                         "(evaluator/reference convention, right for real "
@@ -136,7 +140,8 @@ def fit_fossen_from_args(args, X_tr, U_tr, dt, kind: str = "thruster",
         delay = 0 if args.csv else 1
     kwargs = dict(horizon=args.fossen_fit_horizon, steps=args.fossen_fit_steps,
                   lr=args.fossen_fit_lr, method=method, input_delay=delay,
-                  fit_current=args.fossen_fit_current)
+                  fit_current=args.fossen_fit_current,
+                  compute_stderr=getattr(args, "fossen_fit_stderr", False))
     if kind == "thruster":
         fit = lambda: sysid.fit_thruster(
             X_tr, U_tr, dt, fit_gains=args.fossen_fit_gains, **kwargs)
@@ -152,6 +157,23 @@ def fit_fossen_from_args(args, X_tr, U_tr, dt, kind: str = "thruster",
     if res.current is not None:
         c = [f"{v:+.4f}" for v in res.current.tolist()]
         ok(f"Estimated ambient NED current [m/s]: [{', '.join(c)}]")
+    if res.stderr is not None:
+        import numpy as np
+
+        from bluerov2_dynamics_tpu.models.sysid import COEFF_NAMES
+
+        scales = np.exp(np.asarray(res.log_scales, np.float64))
+        se = np.asarray(res.stderr["s"], np.float64)
+        print("[i] Coefficient scales +- Laplace stderr (log-space; inf = "
+              "unidentifiable on this recording; optimistic in absolute "
+              "terms — see sysid._laplace_stderr):")
+        cells = [
+            f"{n} {s:.3f}±{'inf' if not np.isfinite(e) else format(e, '.3f')}"
+            for n, s, e in zip(COEFF_NAMES, scales, se)
+        ]
+        for row_start in range(0, len(cells), 6):
+            print("      " + "  ".join(
+                f"{c:<16s}" for c in cells[row_start:row_start + 6]))
     return res
 
 

@@ -129,6 +129,7 @@ class SysidResult(NamedTuple):
     log_gains: Optional[jnp.ndarray]  # (8,) fitted per-thruster log-gains or None
     losses: jnp.ndarray            # (steps,) training-loss history
     current: Optional[jnp.ndarray] = None  # (3,) fitted NED current [m/s] or None
+    stderr: Optional[dict] = None  # per-parameter Laplace stderr (keys of theta)
 
 
 def _window_loss(step, carry0, get_state, X, U, horizon: int, n_start: int,
@@ -175,6 +176,44 @@ def _run_adam(loss_fn, theta0, steps: int, lr: float):
         return theta, losses
 
     return run(theta0)
+
+
+def _laplace_stderr(loss_fn, theta, n_resid: int) -> dict:
+    """Gauss-Newton / Laplace standard errors at the fitted optimum.
+
+    ``jax.hessian`` of the mean-squared window loss THROUGH the rollout
+    scan (forward-over-reverse; a capability the reference's hard-coded
+    model cannot offer), then the asymptotic least-squares covariance
+    ``cov = sigma^2 (J^T J)^{-1} = (2 L* / N) H^{-1}`` with the residual
+    MSE ``L*`` as the noise-variance estimate.  Directions with (near-)
+    zero curvature — e.g. the scales on zero-valued nominal coefficients,
+    whose gradients vanish identically — are reported as ``inf``
+    (unidentifiable), not silently pseudo-inverted to 0.
+
+    HONEST CAVEAT: the teacher-forced windows overlap, so the residuals
+    are correlated and the i.i.d. count ``N = horizon * n_start * n_state``
+    overstates the information — these stderrs are optimistic in absolute
+    terms.  Their *relative* ordering is the useful output: a per-
+    coefficient identifiability diagnostic (which Table A1 entries the
+    recording actually constrains).
+    """
+    import numpy as np
+    from jax.flatten_util import ravel_pytree
+
+    flat, unravel = ravel_pytree(theta)
+    H = jax.jit(jax.hessian(lambda v: loss_fn(unravel(v))))(flat)
+    L = float(loss_fn(theta))
+    H = np.asarray(H, np.float64)
+    H = (H + H.T) / 2.0
+    diag = np.diag(H).copy()
+    w, V = np.linalg.eigh(H)
+    tol = max(float(w.max()), 0.0) * 1e-9
+    inv_w = np.where(w > tol, 1.0 / np.where(w > tol, w, 1.0), 0.0)
+    cov = (V * inv_w) @ V.T * (2.0 * max(L, 0.0) / max(n_resid, 1))
+    se = np.sqrt(np.maximum(np.diag(cov), 0.0))
+    dead = diag <= max(float(diag.max()), 0.0) * 1e-12
+    se = np.where(dead, np.inf, se)
+    return unravel(jnp.asarray(se, jnp.float32))
 
 
 def lag_history(cfg: ThrusterConfig, lag: LagParams, U):
@@ -229,6 +268,7 @@ def fit_thruster(
     lag_warmup: bool = True,
     fit_gains: bool = False,
     fit_current: bool = False,
+    compute_stderr: bool = False,
     input_delay: int = 0,
     cfg: Optional[ThrusterConfig] = None,
     lag: Optional[LagParams] = None,
@@ -316,6 +356,10 @@ def fit_thruster(
         fitted_cfg = cfg._replace(
             wrench_map=cfg.wrench_map * jnp.exp(log_gains)[:, None]
         )
+    stderr = None
+    if compute_stderr:
+        stderr = _laplace_stderr(
+            loss_fn, theta, horizon * n_start * X.shape[1])
     return SysidResult(
         params=fitted,
         cfg=fitted_cfg,
@@ -323,6 +367,7 @@ def fit_thruster(
         log_gains=log_gains,
         losses=losses,
         current=theta.get("c"),
+        stderr=stderr,
     )
 
 
@@ -337,6 +382,7 @@ def fit_wrench(
     method: str = "euler",
     state: str = "euler12",
     fit_current: bool = False,
+    compute_stderr: bool = False,
     input_delay: int = 0,
     mesh=None,
     dtype=jnp.float32,
@@ -383,6 +429,10 @@ def fit_wrench(
         )
 
     theta, losses = _run_adam(loss_fn, theta0, steps, lr)
+    stderr = None
+    if compute_stderr:
+        stderr = _laplace_stderr(
+            loss_fn, theta, horizon * n_start * X.shape[1])
     return SysidResult(
         params=params_from_scales(
             jnp.exp(theta["s"]), current=theta.get("c", (0.0, 0.0, 0.0)),
@@ -393,4 +443,5 @@ def fit_wrench(
         log_gains=None,
         losses=losses,
         current=theta.get("c"),
+        stderr=stderr,
     )
