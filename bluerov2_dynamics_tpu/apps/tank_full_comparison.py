@@ -316,6 +316,8 @@ def main(argv=None):
             plot_coefficient_scales(
                 np.exp(np.asarray(fit_res.log_scales, np.float64)),
                 COEFF_NAMES, true_scales=true_scales,
+                stderr=(None if fit_res.stderr is None
+                        else fit_res.stderr["s"]),
                 save_path=f"{args.media_dir}/{args.media_prefix}fossen_fit_scales.png",
             )
     return {"rmses": rmses, "trajs": trajs}

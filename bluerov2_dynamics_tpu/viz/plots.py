@@ -125,6 +125,7 @@ def plot_coefficient_scales(
     fitted_scales,
     names,
     true_scales=None,
+    stderr=None,
     save_path: str = "media/fossen_fit_scales.png",
     dpi: int = 200,
 ):
@@ -134,6 +135,9 @@ def plot_coefficient_scales(
     Companion figure for ``models/sysid.py``: shows WHICH Table A1
     coefficients the differentiable fit moved and by how much.  No
     reference counterpart (the reference's coefficients are hard-coded).
+    ``stderr`` (optional, log-space Laplace stderr per coefficient) draws
+    ±2σ error bars; non-finite entries (unidentifiable coefficients) are
+    skipped.
     """
     import matplotlib
     matplotlib.use("Agg")
@@ -145,6 +149,15 @@ def plot_coefficient_scales(
     fig, ax = plt.subplots(figsize=(10, 4), dpi=dpi)
     ax.bar(x, fitted - 1.0, bottom=1.0, width=0.62, label="fitted",
            color="#3b7dd8", zorder=3)
+    if stderr is not None:
+        se = np.asarray(stderr, np.float64)
+        m = np.isfinite(se)
+        # log-space stderr -> multiplicative band around the fitted scale
+        lo = fitted[m] * (1.0 - np.exp(-2.0 * se[m]))
+        hi = fitted[m] * (np.exp(2.0 * se[m]) - 1.0)
+        ax.errorbar(x[m], fitted[m], yerr=[lo, hi], fmt="none",
+                    ecolor="0.15", elinewidth=1.2, capsize=2.5, zorder=5,
+                    label="±2σ (Laplace)")
     if true_scales is not None:
         t = np.asarray(true_scales, np.float64)
         ax.scatter(x, t, marker="_", s=320, linewidths=2.2, color="#d04a35",
