@@ -1,0 +1,165 @@
+"""Closed-loop control demo: LQR hover / Koopman-LQR / trajectory opt.
+
+TPU-native extension — the reference stops at modeling
+(`/root/reference/README.md:1-22`; EDMDc exists FOR control, but no
+controller ships).  Three tasks against the framework's full nonlinear
+thruster-lag plant:
+
+* ``hover``       — trim + jax.jacobian linearization + Riccati LQR,
+                    recovering a pose perturbation;
+* ``koopman``     — LQR on the lifted (A, B) of an EDMDc model fitted to
+                    episodic near-hover plant data (data-driven control,
+                    no physics linearization anywhere);
+* ``waypoint``    — direct trajectory optimization: Adam over a squashed
+                    control sequence through the rollout scan.
+
+Usage::
+
+    python -m bluerov2_dynamics_tpu.apps.control_demo [hover|koopman|waypoint|all]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bluerov2_dynamics_tpu.eval.timing import time_fn
+from bluerov2_dynamics_tpu.models import control, fossen, koopman
+from bluerov2_dynamics_tpu.models.params import (
+    fossen_params,
+    lag_params,
+    thruster_config,
+)
+from bluerov2_dynamics_tpu.utils.log import info, ok
+
+DT = 0.02
+X0_PERTURBED = (0.5, -0.4, 0.3, 0.1, 0.0, 0.6)  # x y z phi theta psi
+
+
+def _plant():
+    p = fossen_params()
+    cfg = thruster_config()
+    return p, cfg, fossen.make_thruster_step(p, cfg, lag_params(DT), DT,
+                                             "euler")
+
+
+def _perturbed_x0():
+    return jnp.zeros(12, jnp.float32).at[:6].set(
+        jnp.asarray(X0_PERTURBED, jnp.float32))
+
+
+def _report(name, X, steps):
+    e0 = float(jnp.linalg.norm(X[0]))
+    ef = float(jnp.linalg.norm(X[-1]))
+    ok(f"{name}: |x| {e0:.3f} -> {ef:.2e} over {steps * DT:.0f} s "
+       f"({steps} steps)")
+    return {"initial_norm": e0, "final_norm": ef}
+
+
+def run_hover(steps=600):
+    """Trim -> linearize -> LQR -> close the loop on the lag plant."""
+    p, cfg, plant = _plant()
+    info("hover: trim + exact-Jacobian LQR on the nonlinear lag plant")
+    (pol, _), t = time_fn(lambda: (control.fossen_lqr(p, cfg, DT), None),
+                          warmup=0)
+    ok(f"trim + linearize + Riccati solved in {t:.2f} s (incl. compile); "
+       f"hover command (vertical thrusters): "
+       f"{np.round(np.asarray(pol.u_eq[4:]), 4).tolist()}")
+    x0 = _perturbed_x0()
+    X, U = control.simulate_closed_loop(
+        plant, pol, (x0, jnp.zeros((8, 3), jnp.float32)), steps, get_state=lambda c: c[0])
+    out = _report("LQR hover recovery", X, steps)
+    out["X"], out["U"] = np.asarray(X), np.asarray(U)
+    return out
+
+
+def run_koopman(steps=600, n_episodes=60, ep_len=100, n_rbfs=100):
+    """Episodic excitation -> EDMDc fit -> lifted LQR -> closed loop."""
+    p, cfg, plant = _plant()
+    info(f"koopman: EDMDc on {n_episodes}x{ep_len} near-hover episodes, "
+         "LQR on the lifted (A, B)")
+    u_eq, _ = control.trim(p, cfg)
+    kU, kX = jax.random.split(jax.random.PRNGKey(0))
+    U_ep = jnp.clip(u_eq + 0.3 * jax.random.normal(
+        kU, (n_episodes, ep_len, 8), jnp.float32), -1, 1)
+    x0s = 0.3 * jax.random.normal(kX, (n_episodes, 12), jnp.float32)
+
+    @jax.jit
+    def gen(x0, U):
+        def body(c, u):
+            c = plant(c, u)
+            return c, c[0]
+
+        _, X = jax.lax.scan(body, (x0, jnp.zeros((8, 3), jnp.float32)), U)
+        return X
+
+    Xs = jax.vmap(gen)(x0s, U_ep)
+    model, t_fit = time_fn(lambda: koopman.fit_multi(
+        jax.random.PRNGKey(1), list(Xs), list(U_ep),
+        n_rbfs=n_rbfs, gamma=1.0, ridge=1e-6), warmup=0)
+    pol, t_lqr = time_fn(lambda: control.koopman_dlqr(
+        model, jnp.zeros(12, jnp.float32), u_eq=u_eq), warmup=0)
+    ok(f"EDMDc fit {t_fit:.2f} s, lifted Riccati ({model.lift_dim}-dim) "
+       f"{t_lqr:.2f} s (incl. compile)")
+    x0 = _perturbed_x0()
+    X, U = control.simulate_closed_loop(
+        plant, pol, (x0, jnp.zeros((8, 3), jnp.float32)), steps, get_state=lambda c: c[0])
+    out = _report("Koopman-LQR hover recovery", X, steps)
+    out["X"], out["U"] = np.asarray(X), np.asarray(U)
+    return out
+
+
+def run_waypoint(horizon=250, opt_steps=250):
+    """Direct trajectory optimization through the lag plant."""
+    _, _, plant = _plant()
+    target = jnp.zeros(12, jnp.float32).at[0].set(1.0).at[1].set(0.5).at[2].set(-0.3)
+    info(f"waypoint: Adam over {horizon}x8 squashed controls through the "
+         f"rollout scan -> ({float(target[0])}, {float(target[1])}, "
+         f"{float(target[2])}) m in {horizon * DT:.0f} s")
+    res, t = time_fn(lambda: control.trajopt(
+        plant, jnp.zeros(12, jnp.float32), target, horizon=horizon, steps=opt_steps,
+        lr=0.05, carry_init=lambda x: (x, jnp.zeros((8, 3), jnp.float32)),
+        get_state=lambda c: c[0]), warmup=0)
+    err = float(jnp.linalg.norm(res.X[-1, :3] - target[:3]))
+    ok(f"trajopt: loss {float(res.losses[0]):.3e} -> "
+       f"{float(res.losses[-1]):.3e} in {t:.2f} s (incl. compile); "
+       f"terminal position error {err:.2e} m")
+    return {"X": np.asarray(res.X), "U": np.asarray(res.U),
+            "terminal_error": err}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("task", nargs="?", default="all",
+                    choices=["hover", "koopman", "waypoint", "all"])
+    ap.add_argument("--steps", type=int, default=600,
+                    help="closed-loop steps for the hover tasks")
+    ap.add_argument("--media-dir", type=str, default=None,
+                    help="save a top-view trajectory figure here")
+    args = ap.parse_args(argv)
+
+    out = {}
+    if args.task in ("hover", "all"):
+        out["hover"] = run_hover(args.steps)
+    if args.task in ("koopman", "all"):
+        out["koopman"] = run_koopman(args.steps)
+    if args.task in ("waypoint", "all"):
+        out["waypoint"] = run_waypoint()
+
+    if args.media_dir:
+        from bluerov2_dynamics_tpu.viz import plot_topdown_with_depth
+
+        trajs = {k.upper(): v["X"] for k, v in out.items()}
+        plot_topdown_with_depth(
+            trajs, dt=DT, seconds=len(next(iter(trajs.values()))) * DT,
+            save_path=f"{args.media_dir}/control_demo_2D.png",
+        )
+    ok("done")
+    return out
+
+
+if __name__ == "__main__":
+    main()

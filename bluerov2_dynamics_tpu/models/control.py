@@ -1,0 +1,355 @@
+"""Model-based control on the framework's dynamics models (TPU-native
+extension).
+
+The reference models exist FOR control design — EDMDc ("with control")
+lifts the dynamics to make linear control tools applicable — but the
+reference repo stops at modeling (`/root/reference/README.md:1-22`; no
+controller anywhere in the tree).  This module closes that loop with the
+tools a JAX rebuild gets for free:
+
+* :func:`trim` — find the hover thruster setting by gradient descent on
+  the squared state derivative (the thruster map has no closed-form
+  inverse through the T200 static curve);
+* :func:`linearize` — EXACT discrete-time linearization of any step
+  function via ``jax.jacobian`` (the reference's torch models would need
+  hand-derived Jacobians);
+* :func:`dlqr` — discrete LQR by a scanned Riccati recursion, one
+  compiled call;
+* :func:`koopman_dlqr` — LQR on the LIFTED linear system of a fitted
+  :class:`~bluerov2_dynamics_tpu.models.koopman.KoopmanModel` (state
+  cost embedded through the [I 0] readout), i.e. data-driven control
+  without ever linearizing the physics;
+* :func:`simulate_closed_loop` — jitted closed-loop rollout of any
+  policy against any plant (including the full thruster-lag plant);
+* :func:`trajopt` — direct trajectory optimization: Adam over a
+  tanh-squashed control sequence differentiated through the rollout
+  ``lax.scan`` (the same machinery as ``models/sysid.py``, pointed at
+  controls instead of coefficients).
+
+Everything is pure-functional and jit-compatible; the scanned Riccati
+and Adam loops each compile to a single XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from bluerov2_dynamics_tpu.models import fossen, koopman
+from bluerov2_dynamics_tpu.models.params import (
+    FossenParams,
+    LagParams,
+    ThrusterConfig,
+    lag_params,
+    thruster_config,
+)
+
+
+# ---------------------------------------------------------------------------
+# Trim (hover equilibrium)
+# ---------------------------------------------------------------------------
+
+def trim(
+    p: FossenParams,
+    cfg: Optional[ThrusterConfig] = None,
+    x_eq=None,
+    steps: int = 400,
+    lr: float = 0.05,
+    dtype=jnp.float32,
+):
+    """Thruster command ``u_eq`` that holds ``x_eq`` stationary.
+
+    Minimizes ``||rhs(x_eq, u)||^2`` (via the no-lag Euler step; the
+    third-order lag filter has unity DC gain, so a static command that
+    trims the no-lag model trims the lag plant in steady state — pinned
+    by ``tests/test_control.py``).  The BlueROV2 is ~1 N negatively
+    buoyant at the Table A1 values, so hover needs a small vertical
+    command; there is no closed-form inverse through the T200 static
+    curve, hence the gradient solve.  Returns ``(u_eq, residual_norm)``.
+    """
+    cfg = cfg if cfg is not None else thruster_config(dtype=dtype)
+    lag = lag_params(0.02, dtype=dtype)  # unused on the no-lag path
+    x_eq = (jnp.zeros(12, dtype) if x_eq is None
+            else jnp.asarray(x_eq, dtype))
+    dt = 0.02
+    step = fossen.make_thruster_step(p, cfg, lag, dt, "euler", use_lag=False)
+
+    def resid(u):
+        x1, _ = step((x_eq, jnp.zeros((8, 3), dtype)), u)
+        return (x1 - x_eq) / dt
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def run(u0):
+        def body(carry, _):
+            u, s = carry
+            g = jax.grad(lambda v: jnp.sum(resid(v) ** 2))(u)
+            du, s = opt.update(g, s, u)
+            return (optax.apply_updates(u, du), s), None
+
+        (u, _), _ = jax.lax.scan(body, (u0, opt.init(u0)), None, length=steps)
+        return u, jnp.linalg.norm(resid(u))
+
+    return run(jnp.zeros(8, dtype))
+
+
+# ---------------------------------------------------------------------------
+# Linearization + discrete LQR
+# ---------------------------------------------------------------------------
+
+def linearize(step: Callable, x_eq, u_eq):
+    """Exact Jacobians ``(A, B)`` of ``x' = step(x, u)`` at an equilibrium.
+
+    ``A = d step/dx``, ``B = d step/du`` — the discrete-time linear model
+    ``dx' = A dx + B du`` used by :func:`dlqr`.
+    """
+    A = jax.jacobian(step, argnums=0)(x_eq, u_eq)
+    B = jax.jacobian(step, argnums=1)(x_eq, u_eq)
+    return A, B
+
+
+def dlqr(A, B, Q, R, iters: int = 500):
+    """Infinite-horizon discrete LQR gain by scanned Riccati iteration.
+
+    Iterates ``P <- Q + A^T (P - P B (R + B^T P B)^{-1} B^T P) A`` for a
+    fixed ``iters`` (compile-friendly; convergence is geometric for a
+    stabilizable/detectable pair — the fixed point matches
+    ``scipy.linalg.solve_discrete_are`` to 1e-8 in the tests).  Returns
+    ``(K, P)`` with the policy ``u = -K x``.  All matmuls at HIGHEST
+    precision: Riccati conditioning is exactly the raw-state-GEMM class
+    the repo guards (CLAUDE.md round-2).
+    """
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    Q = jnp.asarray(Q, A.dtype)
+    R = jnp.asarray(R, A.dtype)
+
+    @jax.jit
+    def run():
+        with jax.default_matmul_precision("highest"):
+            def body(P, _):
+                BtP = B.T @ P
+                S = R + BtP @ B
+                K = jax.scipy.linalg.solve(S, BtP @ A, assume_a="pos")
+                P_new = Q + A.T @ P @ A - A.T @ P @ B @ K
+                P_new = (P_new + P_new.T) / 2.0
+                return P_new, None
+
+            P, _ = jax.lax.scan(body, Q, None, length=iters)
+            BtP = B.T @ P
+            K = jax.scipy.linalg.solve(R + BtP @ B, BtP @ A, assume_a="pos")
+        return K, P
+
+    return run()
+
+
+class LQRPolicy(NamedTuple):
+    """``u(x) = clip(u_eq - K (phi(x) - z_ref), lo, hi)``."""
+
+    K: jnp.ndarray
+    z_ref: jnp.ndarray
+    u_eq: jnp.ndarray
+    u_lo: float
+    u_hi: float
+    phi: Optional[Callable] = None   # state lift; None = identity
+
+    def __call__(self, x):
+        z = x if self.phi is None else self.phi(x)
+        u = self.u_eq - (z - self.z_ref) @ self.K.T
+        return jnp.clip(u, self.u_lo, self.u_hi)
+
+
+def fossen_lqr(
+    p: FossenParams,
+    cfg: Optional[ThrusterConfig] = None,
+    dt: float = 0.02,
+    x_ref=None,
+    Q=None,
+    R=None,
+    iters: int = 500,
+    dtype=jnp.float32,
+) -> LQRPolicy:
+    """Hover-stabilizing LQR for the thruster-input BlueROV2.
+
+    Pipeline: :func:`trim` at ``x_ref`` -> :func:`linearize` the no-lag
+    Euler step -> :func:`dlqr`.  The returned policy is designed on the
+    lag-free model and is robust to the real third-order thruster lag
+    (closed-loop test against the lag plant).  Default costs: unit state
+    weights, 0.1 on controls.
+    """
+    cfg = cfg if cfg is not None else thruster_config(dtype=dtype)
+    x_ref = (jnp.zeros(12, dtype) if x_ref is None
+             else jnp.asarray(x_ref, dtype))
+    Q = jnp.eye(12, dtype=dtype) if Q is None else jnp.asarray(Q, dtype)
+    R = 0.1 * jnp.eye(8, dtype=dtype) if R is None else jnp.asarray(R, dtype)
+    u_eq, _ = trim(p, cfg, x_ref, dtype=dtype)
+    lag = lag_params(dt, dtype=dtype)
+    nolag = fossen.make_thruster_step(p, cfg, lag, dt, "euler", use_lag=False)
+
+    def f(x, u):
+        x1, _ = nolag((x, jnp.zeros((8, 3), dtype)), u)
+        return x1
+
+    A, B = linearize(f, x_ref, u_eq)
+    K, _ = dlqr(A, B, Q, R, iters)
+    return LQRPolicy(K=K, z_ref=x_ref, u_eq=u_eq, u_lo=-1.0, u_hi=1.0)
+
+
+def koopman_dlqr(
+    model: koopman.KoopmanModel,
+    x_ref,
+    u_eq=None,
+    Q=None,
+    R=None,
+    iters: int = 500,
+    u_limit: float = 1.0,
+) -> LQRPolicy:
+    """LQR on the lifted linear system of a fitted EDMDc model.
+
+    The state cost acts on the physical readout ``x = C z`` (``C = [I 0]``
+    for the ``[x, RBF]`` dictionary): ``Q_lift = C^T Q C``, so the RBF
+    coordinates are costed only through their effect on the state — the
+    standard Koopman-LQR construction.  Data-driven control with no
+    physics linearization anywhere: the ``(A, B)`` come straight from the
+    ridge fit.  Regulates to ``z_ref = phi(x_ref)``.
+
+    Fit the model on EPISODIC excitation near the operating point
+    (``koopman.fit_multi`` over short resetting rollouts): a single
+    free-drifting trajectory wanders away from the setpoint and dilutes
+    the lifted model exactly where the controller needs it — measured
+    closed-loop final error 0.40 (drifting) vs 1.5e-4 (episodic) on the
+    hover task (tests/test_control.py).
+    """
+    n = model.state_dim
+    d = model.lift_dim
+    r = model.B.shape[1]
+    dtype = model.A.dtype
+    Q = jnp.eye(n, dtype=dtype) if Q is None else jnp.asarray(Q, dtype)
+    R = 0.1 * jnp.eye(r, dtype=dtype) if R is None else jnp.asarray(R, dtype)
+    Q_lift = jnp.zeros((d, d), dtype).at[:n, :n].set(Q)
+    K, _ = dlqr(model.A, model.B, Q_lift, R, iters)
+    x_ref = jnp.asarray(x_ref, dtype)
+    u_eq = jnp.zeros(r, dtype) if u_eq is None else jnp.asarray(u_eq, dtype)
+    return LQRPolicy(
+        K=K, z_ref=koopman.lift(model, x_ref), u_eq=u_eq,
+        u_lo=-u_limit, u_hi=u_limit, phi=lambda x: koopman.lift(model, x),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Closed loop
+# ---------------------------------------------------------------------------
+
+def simulate_closed_loop(
+    plant_step: Callable,
+    policy: Callable,
+    carry0,
+    steps: int,
+    get_state: Callable = lambda c: c,
+):
+    """Roll the plant under a state-feedback policy; returns ``(X, U)``.
+
+    ``plant_step(carry, u) -> carry'`` is any step of this framework
+    (wrench models: ``carry = x``; thruster-lag plant:
+    ``carry = (x, lag_state)`` with ``get_state = lambda c: c[0]``).
+    ``X`` is ``(steps+1, n)`` including the initial state, ``U`` is
+    ``(steps, r)``.  One jitted scan.
+    """
+
+    @jax.jit
+    def run(carry0):
+        def body(carry, _):
+            x = get_state(carry)
+            u = policy(x)
+            carry = plant_step(carry, u)
+            return carry, (get_state(carry), u)
+
+        _, (X, U) = jax.lax.scan(body, carry0, None, length=steps)
+        return jnp.concatenate([get_state(carry0)[None], X]), U
+
+    return run(carry0)
+
+
+# ---------------------------------------------------------------------------
+# Direct trajectory optimization
+# ---------------------------------------------------------------------------
+
+class TrajoptResult(NamedTuple):
+    U: jnp.ndarray        # (H, r) optimized (squashed) control sequence
+    X: jnp.ndarray        # (H+1, n) resulting state trajectory
+    losses: jnp.ndarray   # (steps,) optimization loss history
+
+
+def trajopt(
+    step: Callable,
+    x0,
+    x_target,
+    horizon: int,
+    steps: int = 300,
+    lr: float = 0.05,
+    u_limit: float = 1.0,
+    effort_weight: float = 1e-3,
+    terminal_weight=None,
+    carry_init: Callable = lambda x: x,
+    get_state: Callable = lambda c: c,
+    u_dim: int = 8,
+    dtype=jnp.float32,
+) -> TrajoptResult:
+    """Open-loop control sequence reaching ``x_target`` from ``x0``.
+
+    Adam over ``V`` with ``u = u_limit * tanh(V)`` (smooth actuator
+    saturation — clipping would zero the gradient outside the box),
+    loss = weighted terminal error + ``effort_weight * mean(u^2)``,
+    differentiated through the full rollout scan; the entire optimization
+    is one compiled call.  ``terminal_weight`` (defaults to 1s) weights
+    the terminal state error per coordinate.
+    """
+    x0 = jnp.asarray(x0, dtype)
+    x_target = jnp.asarray(x_target, dtype)
+    w = (jnp.ones_like(x_target) if terminal_weight is None
+         else jnp.asarray(terminal_weight, dtype))
+
+    def rollout_final(U):
+        def body(carry, u):
+            return step(carry, u), None
+
+        carry, _ = jax.lax.scan(body, carry_init(x0), U)
+        return get_state(carry)
+
+    def loss_fn(V):
+        U = u_limit * jnp.tanh(V)
+        xf = rollout_final(U)
+        return (jnp.sum(w * (xf - x_target) ** 2)
+                + effort_weight * jnp.mean(U ** 2))
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def run(V0):
+        def body(carry, _):
+            V, s = carry
+            loss, g = jax.value_and_grad(loss_fn)(V)
+            dV, s = opt.update(g, s, V)
+            return (optax.apply_updates(V, dV), s), loss
+
+        (V, _), losses = jax.lax.scan(
+            body, (V0, opt.init(V0)), None, length=steps
+        )
+        return u_limit * jnp.tanh(V), losses
+
+    U, losses = run(jnp.zeros((horizon, u_dim), dtype))
+
+    @jax.jit
+    def rollout_full(U):
+        def body(carry, u):
+            carry = step(carry, u)
+            return carry, get_state(carry)
+
+        _, X = jax.lax.scan(body, carry_init(x0), U)
+        return jnp.concatenate([x0[None], X])
+
+    return TrajoptResult(U=U, X=rollout_full(U), losses=losses)

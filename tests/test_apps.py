@@ -485,3 +485,19 @@ def test_flagship_fossen_fit_scales_figure(tmp_path):
     args.remove("--no-media")
     tank_full_comparison.main(args)
     assert (tmp_path / "media" / "fossen_fit_scales.png").exists()
+
+
+def test_control_demo_app(tmp_path, capsys):
+    """Closed-loop control demo: all three tasks run and report recovery."""
+    from bluerov2_dynamics_tpu.apps import control_demo
+
+    out = control_demo.main(["all", "--steps", "300",
+                             "--media-dir", str(tmp_path / "media")])
+    text = capsys.readouterr().out
+    assert "LQR hover recovery" in text
+    assert "Koopman-LQR hover recovery" in text
+    assert "terminal position error" in text
+    for task in ("hover", "koopman"):
+        assert out[task]["final_norm"] < 0.1 * out[task]["initial_norm"], task
+    assert out["waypoint"]["terminal_error"] < 0.05
+    assert (tmp_path / "media" / "control_demo_2D.png").exists()

@@ -1,0 +1,161 @@
+"""Tests for model-based control (models/control).
+
+The reference stops at modeling (no controller in its tree — README
+"modeling, training, and evaluating"); this is a TPU-native extension, so
+the oracles are textbook control theory (scipy DARE) and closed-loop
+behavior against the framework's own full nonlinear thruster-lag plant.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bluerov2_dynamics_tpu.models import control, fossen, koopman
+from bluerov2_dynamics_tpu.models.params import (
+    fossen_params,
+    lag_params,
+    thruster_config,
+)
+
+DT = 0.02
+
+
+@pytest.fixture(scope="module")
+def plant():
+    """Full nonlinear thruster plant WITH the third-order lag."""
+    p = fossen_params()
+    cfg = thruster_config()
+    return p, cfg, fossen.make_thruster_step(p, cfg, lag_params(DT), DT,
+                                             "euler")
+
+
+@pytest.fixture(scope="module")
+def trim_eq(plant):
+    p, cfg, _ = plant
+    return control.trim(p, cfg)
+
+
+def _lag0():
+    return jnp.zeros((8, 3))
+
+
+def test_dlqr_matches_scipy_dare():
+    """The scanned Riccati fixed point reproduces scipy's DARE solution."""
+    scipy_linalg = pytest.importorskip("scipy.linalg")
+    rng = np.random.default_rng(0)
+    n, m = 6, 3
+    A = np.asarray(0.95 * np.eye(n) + 0.08 * rng.normal(size=(n, n)))
+    B = np.asarray(rng.normal(size=(n, m)))
+    Q = np.eye(n)
+    R = 0.5 * np.eye(m)
+    K, P = control.dlqr(jnp.asarray(A, jnp.float64), jnp.asarray(B, jnp.float64),
+                        Q, R, iters=2000)
+    P_ref = scipy_linalg.solve_discrete_are(A, B, Q, R)
+    K_ref = np.linalg.solve(R + B.T @ P_ref @ B, B.T @ P_ref @ A)
+    np.testing.assert_allclose(np.asarray(P), P_ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(K), K_ref, rtol=1e-8, atol=1e-10)
+
+
+def test_linearize_exact_on_linear_step():
+    rng = np.random.default_rng(1)
+    A = jnp.asarray(rng.normal(size=(5, 5)), jnp.float32)
+    B = jnp.asarray(rng.normal(size=(5, 2)), jnp.float32)
+    A_got, B_got = control.linearize(
+        lambda x, u: x @ A.T + u @ B.T, jnp.zeros(5), jnp.zeros(2))
+    np.testing.assert_allclose(np.asarray(A_got), np.asarray(A), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(B_got), np.asarray(B), rtol=1e-6)
+
+
+def test_trim_finds_hover(plant, trim_eq):
+    """Trim zeroes the state derivative; the lag filter's unity DC gain
+    makes the same static command hold the LAG plant stationary."""
+    _, _, step = plant
+    u_eq, resid = trim_eq
+    assert float(resid) < 1e-2
+    # the BlueROV2 is slightly negatively buoyant: vertical thrusters
+    # (5-8) must push, the vectored horizontal ones (1-4) stay ~0
+    u = np.asarray(u_eq)
+    assert np.all(np.abs(u[:4]) < 1e-3)
+    assert np.all(u[4:] > 1e-3)
+    X, _ = control.simulate_closed_loop(
+        step, lambda x: u_eq, (jnp.zeros(12), _lag0()), 500,
+        get_state=lambda c: c[0])
+    assert float(jnp.max(jnp.linalg.norm(X, axis=1))) < 0.02
+
+
+def test_fossen_lqr_stabilizes_lag_plant(plant):
+    """LQR designed on the lag-free linearization stabilizes the full
+    nonlinear lag plant from a large pose perturbation (robustness to the
+    unmodeled actuator dynamics)."""
+    p, cfg, step = plant
+    pol = control.fossen_lqr(p, cfg, DT)
+    x0 = (jnp.zeros(12).at[0].set(0.5).at[1].set(-0.4).at[2].set(0.3)
+          .at[5].set(0.6).at[3].set(0.1))
+    X, U = control.simulate_closed_loop(
+        step, pol, (x0, _lag0()), 600, get_state=lambda c: c[0])
+    assert X.shape == (601, 12) and U.shape == (600, 8)
+    assert float(jnp.max(jnp.abs(U))) <= 1.0 + 1e-6
+    # measured: |x| 0.93 -> 1.1e-4 in 12 s
+    assert float(jnp.linalg.norm(X[-1])) < 1e-2
+    # open loop (hover trim only) keeps the pose offset
+    u_eq = pol.u_eq
+    Xo, _ = control.simulate_closed_loop(
+        step, lambda x: u_eq, (x0, _lag0()), 600, get_state=lambda c: c[0])
+    assert float(jnp.linalg.norm(Xo[-1])) > 0.5
+
+
+def test_koopman_lqr_data_driven(plant, trim_eq):
+    """LQR on the lifted (A, B) of an EDMDc model fitted to plant data
+    near hover regulates the TRUE nonlinear plant — data-driven control
+    with no physics linearization anywhere."""
+    _, _, step = plant
+    u_eq, _ = trim_eq
+    # episodic excitation near hover (resetting keeps the data local to
+    # the operating point — a free-drifting trajectory wanders meters away
+    # and dilutes the lifted model where the controller needs it; measured
+    # closed-loop 0.40 final error drifting vs 1.5e-4 episodic)
+    n_ep, T = 60, 100
+    kU, kX = jax.random.split(jax.random.PRNGKey(0))
+    U = jnp.clip(u_eq + 0.3 * jax.random.normal(kU, (n_ep, T, 8)), -1, 1)
+    x0s = 0.3 * jax.random.normal(kX, (n_ep, 12))
+
+    @jax.jit
+    def gen(x0, U):
+        def body(c, u):
+            c = step(c, u)
+            return c, c[0]
+
+        _, X = jax.lax.scan(body, (x0, jnp.zeros((8, 3))), U)
+        return X
+
+    Xs = jax.vmap(gen)(x0s, U)
+    model = koopman.fit_multi(jax.random.PRNGKey(1), list(Xs), list(U),
+                              n_rbfs=100, gamma=1.0, ridge=1e-6)
+    pol = control.koopman_dlqr(model, jnp.zeros(12), u_eq=u_eq)
+    x0 = jnp.zeros(12).at[0].set(0.4).at[2].set(0.25).at[5].set(0.4)
+    Xc, _ = control.simulate_closed_loop(
+        step, pol, (x0, _lag0()), 600, get_state=lambda c: c[0])
+    e0 = float(jnp.linalg.norm(x0))
+    ef = float(jnp.linalg.norm(Xc[-1]))
+    # measured: 0.62 -> 1.5e-4; assert with margin + bounded trajectory
+    assert ef < 0.05 * e0, (e0, ef)
+    assert float(jnp.max(jnp.abs(Xc[:, :3]))) < 2 * float(jnp.max(jnp.abs(x0)))
+
+
+def test_trajopt_reaches_waypoint(plant):
+    """Direct trajectory optimization through the lag plant's rollout
+    scan reaches a 1.2 m waypoint in 5 s with ~1e-5 terminal error."""
+    _, _, step = plant
+    target = jnp.zeros(12).at[0].set(1.0).at[1].set(0.5).at[2].set(-0.3)
+    res = control.trajopt(
+        step, jnp.zeros(12), target, horizon=250, steps=250, lr=0.05,
+        carry_init=lambda x: (x, jnp.zeros((8, 3), jnp.float32)),
+        get_state=lambda c: c[0],
+    )
+    losses = np.asarray(res.losses)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 1e-3 * losses[0]
+    assert float(jnp.linalg.norm(res.X[-1, :3] - target[:3])) < 0.05
+    assert float(jnp.max(jnp.abs(res.U))) <= 1.0
+    assert res.X.shape == (251, 12) and res.U.shape == (250, 8)
