@@ -156,6 +156,8 @@ def main(argv=None):
         plot_topdown_with_depth(
             trajs, dt=DT, seconds=len(next(iter(trajs.values()))) * DT,
             save_path=f"{args.media_dir}/control_demo_2D.png",
+            title="Closed-loop control: LQR / Koopman-LQR hover recovery "
+                  "+ trajopt waypoint (top view)",
         )
     ok("done")
     return out

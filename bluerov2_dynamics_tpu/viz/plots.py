@@ -29,6 +29,7 @@ def plot_topdown_with_depth(
     marker_step_seconds: float = 1.0,
     marker_cmap: str = "viridis",
     dpi: int = 300,
+    title: str = None,
 ):
     """Plot the first ~``seconds`` of each trajectory in the x-y plane."""
     import matplotlib
@@ -102,7 +103,11 @@ def plot_topdown_with_depth(
 
     ax.set_xlabel("x [m]", fontsize=11)
     ax.set_ylabel("y [m]", fontsize=11)
-    ax.set_title(f"Open-loop rollout (~{seconds:.1f}s, top view)", fontsize=12)
+    ax.set_title(
+        title if title is not None
+        else f"Open-loop rollout (~{seconds:.1f}s, top view)",
+        fontsize=12,
+    )
     ax.set_aspect("equal", adjustable="box")
     ax.grid(True, alpha=0.3)
     ax.legend(
