@@ -41,7 +41,6 @@ import optax
 from bluerov2_dynamics_tpu.models import fossen, koopman
 from bluerov2_dynamics_tpu.models.params import (
     FossenParams,
-    LagParams,
     ThrusterConfig,
     lag_params,
     thruster_config,
