@@ -11,11 +11,14 @@ thruster-lag plant:
                     episodic near-hover plant data (data-driven control,
                     no physics linearization anywhere);
 * ``waypoint``    — direct trajectory optimization: Adam over a squashed
-                    control sequence through the rollout scan.
+                    control sequence through the rollout scan;
+* ``mpc``         — receding-horizon MPC (nested jitted scans) from a
+                    near-reversed heading, vs the LQR's wide swing
+                    (opt-in; not part of ``all``).
 
 Usage::
 
-    python -m bluerov2_dynamics_tpu.apps.control_demo [hover|koopman|waypoint|all]
+    python -m bluerov2_dynamics_tpu.apps.control_demo [hover|koopman|waypoint|mpc|all]
 """
 
 from __future__ import annotations
@@ -112,6 +115,34 @@ def run_koopman(steps=600, n_episodes=60, ep_len=100, n_rbfs=100):
     return out
 
 
+def run_mpc(sim_steps=300):
+    """Receding-horizon MPC from a near-reversed heading vs LQR."""
+    p, cfg, plant = _plant()
+    x0 = jnp.zeros(12, jnp.float32).at[0].set(1.5).at[1].set(0.5).at[5].set(3.0)
+    init = float(jnp.linalg.norm(x0[:3]))
+    info(f"mpc: receding horizon (60-step plan, 20 Adam iters/step, one "
+         f"nested-scan XLA program) from psi=3.0 rad, {init:.2f} m out")
+    pol = control.fossen_lqr(p, cfg, DT)
+    Xl, _ = control.simulate_closed_loop(
+        plant, pol, (x0, jnp.zeros((8, 3), jnp.float32)), sim_steps,
+        get_state=lambda c: c[0])
+    (X, U), t = time_fn(lambda: control.simulate_mpc(
+        plant, x0, jnp.zeros(12, jnp.float32), sim_steps=sim_steps,
+        horizon=60, replan_iters=20, init_iters=150, lr=0.1,
+        carry_init=lambda x: (x, jnp.zeros((8, 3), jnp.float32)),
+        get_state=lambda c: c[0]), warmup=0)
+    pm = jnp.linalg.norm(X[:, :3], axis=1)
+    pl = jnp.linalg.norm(Xl[:, :3], axis=1)
+    ok(f"MPC {t:.1f} s (incl. compile): pos err {init:.3f} -> "
+       f"{float(pm[-1]):.3f}, max excursion {float(jnp.max(pm)):.3f} "
+       f"(monotone approach); LQR -> {float(pl[-1]):.3f} but swings to "
+       f"{float(jnp.max(pl)):.3f}")
+    return {"X": np.asarray(X), "U": np.asarray(U),
+            "X_lqr": np.asarray(Xl),
+            "max_excursion": float(jnp.max(pm)),
+            "lqr_max_excursion": float(jnp.max(pl))}
+
+
 def run_waypoint(horizon=250, opt_steps=250):
     """Direct trajectory optimization through the lag plant."""
     _, _, plant = _plant()
@@ -134,7 +165,7 @@ def run_waypoint(horizon=250, opt_steps=250):
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("task", nargs="?", default="all",
-                    choices=["hover", "koopman", "waypoint", "all"])
+                    choices=["hover", "koopman", "waypoint", "mpc", "all"])
     ap.add_argument("--steps", type=int, default=600,
                     help="closed-loop steps for the hover tasks")
     ap.add_argument("--media-dir", type=str, default=None,
@@ -148,6 +179,9 @@ def main(argv=None):
         out["koopman"] = run_koopman(args.steps)
     if args.task in ("waypoint", "all"):
         out["waypoint"] = run_waypoint()
+    if args.task == "mpc":
+        # not in "all": ~40 s of nested-scan compile+run — opt-in task
+        out["mpc"] = run_mpc()
 
     if args.media_dir:
         from bluerov2_dynamics_tpu.viz import plot_topdown_with_depth

@@ -274,6 +274,89 @@ def simulate_closed_loop(
 
 
 # ---------------------------------------------------------------------------
+# Receding-horizon MPC
+# ---------------------------------------------------------------------------
+
+def simulate_mpc(
+    plant_step: Callable,
+    x0,
+    x_target,
+    sim_steps: int,
+    horizon: int = 50,
+    replan_iters: int = 10,
+    init_iters: int = 200,
+    lr: float = 0.1,
+    u_limit: float = 1.0,
+    effort_weight: float = 1e-3,
+    state_weight=None,
+    carry_init: Callable = lambda x: x,
+    get_state: Callable = lambda c: c,
+    u_dim: int = 8,
+    dtype=jnp.float32,
+):
+    """Closed-loop receding-horizon MPC; returns ``(X, U)``.
+
+    At every plant step the control plan (a ``(horizon, u_dim)``
+    tanh-squashed sequence) is warm-started by shifting the previous plan
+    one step and improved with ``replan_iters`` Adam iterations on the
+    stage-cost rollout ``sum_t w (x_t - x_target)^2 + effort``; the first
+    control is applied.  The initial plan is optimized harder
+    (``init_iters``) since it starts from zeros; per-step replanning then
+    only has to ADAPT the warm-started plan (measured: 8 iters/step from
+    a cold plan stalls 2.5 m out; 200 init + 8/step converges).  The
+    WHOLE closed loop — plant scan, per-step replanning scan,
+    value_and_grad through the horizon rollout — compiles to one
+    nested-scan XLA program.  Unlike :func:`dlqr` this respects
+    actuator saturation inside the plan (tanh) and the full nonlinear
+    model over the horizon, so it keeps working where the linearization
+    is saturated or invalid.
+    """
+    x0 = jnp.asarray(x0, dtype)
+    x_target = jnp.asarray(x_target, dtype)
+    w = (jnp.ones_like(x_target) if state_weight is None
+         else jnp.asarray(state_weight, dtype))
+    opt = optax.adam(lr)
+
+    def plan_cost(V, carry):
+        def body(c, v):
+            c = plant_step(c, u_limit * jnp.tanh(v))
+            x = get_state(c)
+            return c, jnp.sum(w * (x - x_target) ** 2)
+
+        _, costs = jax.lax.scan(body, carry, V)
+        return jnp.mean(costs) + effort_weight * jnp.mean(jnp.tanh(V) ** 2)
+
+    def _optimize(V, carry, iters):
+        def inner(inner_state, _):
+            V, s = inner_state
+            _, g = jax.value_and_grad(plan_cost)(V, carry)
+            dV, s = opt.update(g, s, V)
+            return (optax.apply_updates(V, dV), s), None
+
+        (V, _), _ = jax.lax.scan(inner, (V, opt.init(V)), None, length=iters)
+        return V
+
+    @jax.jit
+    def run(carry0, V0):
+        V0 = _optimize(V0, carry0, init_iters)
+
+        def outer(state, _):
+            carry, V = state
+            u = u_limit * jnp.tanh(V[0])
+            carry = plant_step(carry, u)
+            # warm start: shift the executed plan, repeat the last input
+            V = jnp.concatenate([V[1:], V[-1:]])
+            V = _optimize(V, carry, replan_iters)
+            return (carry, V), (get_state(carry), u)
+
+        (_, _), (X, U) = jax.lax.scan(
+            outer, (carry0, V0), None, length=sim_steps)
+        return jnp.concatenate([get_state(carry0)[None], X]), U
+
+    return run(carry_init(x0), jnp.zeros((horizon, u_dim), dtype))
+
+
+# ---------------------------------------------------------------------------
 # Direct trajectory optimization
 # ---------------------------------------------------------------------------
 
