@@ -9,6 +9,9 @@
 * :mod:`koopman` — EDMDc with RBF dictionary (on-device k-means + ridge).
 * :mod:`di` — learned linear double-integrator model.
 * :mod:`pinc` — physics-informed residual network (flax/optax).
+* :mod:`sysid` — differentiable Fossen coefficient identification.
+* :mod:`control` — trim / LQR / Koopman-LQR / trajopt / MPC.
+* :mod:`estimation` — KF / EKF / UKF / RTS smoother / Koopman-KF.
 """
 
 from bluerov2_dynamics_tpu.models.params import (  # noqa: F401

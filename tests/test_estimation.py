@@ -1,0 +1,316 @@
+"""Tests for state estimation (models/estimation).
+
+The reference adds mocap-style sensor noise and trains on the raw noisy
+states (``train_sim_brov2_koopmanEDMDc.py:173-192``) — it has no
+estimator, so this is a TPU-native extension and the oracles are
+textbook: a NumPy linear Kalman filter / RTS smoother implemented inline
+here, exactness of the unscented transform on linear systems, and
+filter-consistency (NEES/NIS) statistics on the framework's own Fossen
+plant.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bluerov2_dynamics_tpu.models import estimation, fossen, koopman
+from bluerov2_dynamics_tpu.models.params import fossen_params
+from bluerov2_dynamics_tpu.ops.rotations import ssa
+
+DT = 0.05
+
+
+# ---------------------------------------------------------------------------
+# NumPy oracles (textbook KF / RTS, straight from Sarkka's equations)
+# ---------------------------------------------------------------------------
+
+def np_kalman(A, B, H, Q, R, m0, P0, U, Y):
+    n = m0.shape[0]
+    means, covs, preds = [], [], []
+    nis_all, ll = [], 0.0
+    m, P = m0.copy(), P0.copy()
+    for k in range(Y.shape[0]):
+        if k > 0:
+            m = A @ m + B @ U[k - 1]
+            P = A @ P @ A.T + Q
+        preds.append((m.copy(), P.copy()))
+        v = Y[k] - H @ m
+        S = H @ P @ H.T + R
+        K = P @ H.T @ np.linalg.inv(S)
+        m = m + K @ v
+        P = (np.eye(n) - K @ H) @ P
+        nis = v @ np.linalg.solve(S, v)
+        nis_all.append(nis)
+        ll += -0.5 * (nis + np.linalg.slogdet(S)[1]
+                      + Y.shape[1] * np.log(2 * np.pi))
+        means.append(m.copy())
+        covs.append(P.copy())
+    return (np.array(means), np.array(covs), np.array(nis_all), ll,
+            preds)
+
+
+def np_rts(A, Q, means_f, covs_f, U, B):
+    T = means_f.shape[0]
+    ms, Ps = means_f.copy(), covs_f.copy()
+    for k in range(T - 2, -1, -1):
+        m_pred = A @ means_f[k] + B @ U[k]
+        P_pred = A @ covs_f[k] @ A.T + Q
+        G = covs_f[k] @ A.T @ np.linalg.inv(P_pred)
+        ms[k] = means_f[k] + G @ (ms[k + 1] - m_pred)
+        Ps[k] = covs_f[k] + G @ (Ps[k + 1] - P_pred) @ G.T
+    return ms, Ps
+
+
+def _linear_system(rng, n=4, r=2, m=3):
+    A = 0.9 * np.eye(n) + 0.05 * rng.normal(size=(n, n))
+    B = 0.1 * rng.normal(size=(n, r))
+    H = rng.normal(size=(m, n))
+    Q = 0.01 * np.eye(n)
+    R = 0.05 * np.eye(m)
+    return A, B, H, Q, R
+
+
+def _simulate_linear(rng, A, B, H, Q, R, T=120):
+    n, r, m = A.shape[0], B.shape[1], H.shape[0]
+    U = rng.normal(size=(T - 1, r))
+    X = np.zeros((T, n))
+    X[0] = rng.normal(size=n)
+    Lq = np.linalg.cholesky(Q)
+    for k in range(T - 1):
+        X[k + 1] = A @ X[k] + B @ U[k] + Lq @ rng.normal(size=n)
+    Y = X @ H.T + rng.normal(size=(T, m)) @ np.linalg.cholesky(R).T
+    return X, U, Y
+
+
+@pytest.fixture(scope="module")
+def linear_case():
+    rng = np.random.default_rng(7)
+    A, B, H, Q, R = _linear_system(rng)
+    X, U, Y = _simulate_linear(rng, A, B, H, Q, R)
+    m0 = np.zeros(A.shape[0])
+    P0 = np.eye(A.shape[0])
+    return A, B, H, Q, R, m0, P0, X, U, Y
+
+
+def test_kalman_filter_matches_numpy_oracle(linear_case):
+    A, B, H, Q, R, m0, P0, X, U, Y = linear_case
+    res = estimation.kalman_filter(A, B, H, Q, R, m0, P0, U, Y)
+    means, covs, nis, ll, _ = np_kalman(A, B, H, Q, R, m0, P0, U, Y)
+    np.testing.assert_allclose(np.asarray(res.means), means, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(res.covs), covs, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(res.nis), nis, atol=1e-9)
+    np.testing.assert_allclose(float(res.loglik), ll, rtol=1e-10)
+
+
+def test_ukf_exact_on_linear_system(linear_case):
+    """The unscented transform is exact for linear dynamics: UKF == KF."""
+    A, B, H, Q, R, m0, P0, X, U, Y = linear_case
+    kf = estimation.kalman_filter(A, B, H, Q, R, m0, P0, U, Y)
+    uk = estimation.ukf(
+        lambda x, u: jnp.asarray(A) @ x + jnp.asarray(B) @ u,
+        lambda x: jnp.asarray(H) @ x,
+        Q, R, m0, P0, U, Y,
+    )
+    np.testing.assert_allclose(np.asarray(uk.means), np.asarray(kf.means),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(uk.covs), np.asarray(kf.covs),
+                               atol=1e-8)
+    np.testing.assert_allclose(float(uk.loglik), float(kf.loglik),
+                               rtol=1e-8)
+
+
+def test_rts_smoother_matches_numpy_oracle(linear_case):
+    A, B, H, Q, R, m0, P0, X, U, Y = linear_case
+    filt = estimation.kalman_filter(A, B, H, Q, R, m0, P0, U, Y)
+    sm = estimation.rts_smooth(
+        lambda x, u: jnp.asarray(A) @ x + jnp.asarray(B) @ u, Q, U, filt)
+    ms, Ps = np_rts(A, Q, np.asarray(filt.means), np.asarray(filt.covs),
+                    U, B)
+    np.testing.assert_allclose(np.asarray(sm.means), ms, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sm.covs), Ps, atol=1e-9)
+
+
+def test_smoother_never_less_certain_than_filter(linear_case):
+    A, B, H, Q, R, m0, P0, X, U, Y = linear_case
+    sm = estimation.ekf_smooth(
+        lambda x, u: jnp.asarray(A) @ x + jnp.asarray(B) @ u,
+        lambda x: jnp.asarray(H) @ x, Q, R, m0, P0, U, Y)
+    d_f = np.diagonal(np.asarray(sm.filtered.covs), axis1=1, axis2=2)
+    d_s = np.diagonal(np.asarray(sm.covs), axis1=1, axis2=2)
+    assert np.all(d_s <= d_f + 1e-12)
+
+
+def test_nees_nis_consistency_linear(linear_case):
+    """With the true noise model, mean NEES ~ n and mean NIS ~ m."""
+    A, B, H, Q, R, m0, P0, X, U, Y = linear_case
+    res = estimation.kalman_filter(A, B, H, Q, R, m0, P0, U, Y)
+    ne = np.asarray(estimation.nees(res, X))
+    n, m = A.shape[0], H.shape[0]
+    assert 0.5 * n < ne.mean() < 2.0 * n
+    assert 0.5 * m < np.asarray(res.nis).mean() < 2.0 * m
+
+
+def test_u_length_validation(linear_case):
+    A, B, H, Q, R, m0, P0, X, U, Y = linear_case
+    with pytest.raises(ValueError, match="T-1"):
+        estimation.kalman_filter(A, B, H, Q, R, m0, P0, U[:-3], Y)
+    with pytest.raises(ValueError, match="T-1"):
+        estimation.ukf(lambda x, u: x, lambda x: x, Q, R, m0, P0,
+                       U[:-3], Y)
+
+
+# ---------------------------------------------------------------------------
+# Nonlinear: the framework's own Fossen wrench plant
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def fossen_case():
+    p = fossen_params(dtype=jnp.float64)
+    step = fossen.make_wrench_step(p, DT, "euler", "euler12")
+    key = jax.random.PRNGKey(3)
+    kt, kn, kx = jax.random.split(key, 3)
+    T = 300
+    TAU = 3.0 * jnp.cumsum(
+        0.1 * jax.random.normal(kt, (T - 1, 6), jnp.float64), axis=0)
+    TAU = jnp.clip(TAU, -5, 5)
+    x0 = jnp.zeros(12, jnp.float64)
+    X_true = fossen.simulate_wrench(p, x0, TAU, DT)          # (T, 12)
+    sigma = jnp.concatenate([jnp.full(3, 0.02), jnp.full(3, 0.01),
+                             jnp.full(3, 0.02), jnp.full(3, 0.01)])
+    Y = X_true + sigma * jax.random.normal(kn, X_true.shape, jnp.float64)
+    R = jnp.diag(sigma**2)
+    Q = 1e-8 * jnp.eye(12, dtype=jnp.float64)
+    m0 = X_true[0] + 0.05 * jax.random.normal(kx, (12,), jnp.float64)
+    P0 = 0.01 * jnp.eye(12, dtype=jnp.float64)
+    return step, Q, R, m0, P0, TAU, Y, X_true, sigma
+
+
+def _rmse(a, b):
+    return float(jnp.sqrt(jnp.mean((jnp.asarray(a) - jnp.asarray(b)) ** 2)))
+
+
+def test_ekf_beats_raw_measurements_on_fossen(fossen_case):
+    step, Q, R, m0, P0, U, Y, X_true, sigma = fossen_case
+    res = estimation.ekf(step, lambda x: x, Q, R, m0, P0, U, Y)
+    raw = _rmse(Y, X_true)
+    filt = _rmse(res.means, X_true)
+    assert filt < 0.35 * raw, (filt, raw)
+    # consistency on the nonlinear plant (loose band)
+    ne = np.asarray(estimation.nees(res, X_true))[10:]
+    assert 0.2 * 12 < ne.mean() < 5.0 * 12
+
+
+def test_ukf_matches_ekf_on_fossen(fossen_case):
+    step, Q, R, m0, P0, U, Y, X_true, sigma = fossen_case
+    ek = estimation.ekf(step, lambda x: x, Q, R, m0, P0, U, Y)
+    uk = estimation.ukf(step, lambda x: x, Q, R, m0, P0, U, Y)
+    e_rmse = _rmse(ek.means, X_true)
+    u_rmse = _rmse(uk.means, X_true)
+    assert u_rmse < 1.5 * e_rmse
+    # near-linear regime: the two agree closely
+    assert _rmse(uk.means, ek.means) < 0.5 * e_rmse
+
+
+def test_smoother_beats_filter_on_fossen(fossen_case):
+    step, Q, R, m0, P0, U, Y, X_true, sigma = fossen_case
+    sm = estimation.ekf_smooth(step, lambda x: x, Q, R, m0, P0, U, Y)
+    f = _rmse(sm.filtered.means, X_true)
+    s = _rmse(sm.means, X_true)
+    assert s < f, (s, f)
+
+
+def test_ekf_partial_measurements(fossen_case):
+    """Depth+attitude+velocities only (no x, y): the filter still tracks
+    velocities, and its x/y uncertainty grows (dead-reckoning drift is
+    reported honestly instead of hidden)."""
+    step, Q, R, m0, P0, U, Y, X_true, sigma = fossen_case
+    idx = jnp.asarray([2, 3, 4, 5, 6, 7, 8, 9, 10, 11])
+    h = lambda x: x[idx]
+    Rp = jnp.diag(sigma[idx] ** 2)
+    res = estimation.ekf(step, h, Q, Rp, m0, P0, U, Y[:, idx])
+    # velocity channels tracked well
+    v_filt = _rmse(res.means[:, 6:12], X_true[:, 6:12])
+    v_raw = _rmse(Y[:, 6:12], X_true[:, 6:12])
+    assert v_filt < 0.5 * v_raw
+    # unobserved x never gains information (variance non-decreasing from
+    # the prior) while observed z collapses far below it
+    Pd = np.diagonal(np.asarray(res.covs), axis1=1, axis2=2)
+    assert Pd[-1, 0] >= Pd[0, 0] - 1e-12
+    assert Pd[-1, 2] < np.asarray(sigma)[2] ** 2
+    assert Pd[-1, 0] > 20.0 * Pd[-1, 2]
+
+
+def test_ekf_angle_residual_hook(fossen_case):
+    """A wrap-aware residual on the angle channels (via ops.rotations.ssa)
+    keeps the filter on track when the measured yaw wraps to [-pi, pi)
+    while the state convention winds."""
+    step, Q, R, m0, P0, U, Y, X_true, sigma = fossen_case
+    # push the trajectory through a winding yaw by biasing the yaw moment
+    U2 = jnp.asarray(U).at[:, 5].add(3.0)
+    p = fossen_params(dtype=jnp.float64)
+    X2 = fossen.simulate_wrench(p, X_true[0], U2, DT)
+    assert float(jnp.max(jnp.abs(X2[:, 5]))) > np.pi  # actually winds
+    key = jax.random.PRNGKey(11)
+    Y2 = X2 + sigma * jax.random.normal(key, X2.shape, jnp.float64)
+    Y2 = Y2.at[:, 3:6].set(ssa(Y2[:, 3:6]))  # sensor reports wrapped angles
+
+    def residual(y, y_pred):
+        v = y - y_pred
+        return v.at[3:6].set(ssa(v[3:6]))
+
+    res = estimation.ekf(step, lambda x: x, Q, R, X2[0], P0, U2, Y2,
+                         residual=residual)
+    naive = estimation.ekf(step, lambda x: x, Q, R, X2[0], P0, U2, Y2)
+    e_res = _rmse(res.means[:, 5], X2[:, 5])
+    e_naive = _rmse(naive.means[:, 5], X2[:, 5])
+    assert e_res < 0.05
+    assert e_naive > 10 * e_res  # the naive innovation is torn by the wrap
+
+
+def test_loglik_prefers_true_coefficients(fossen_case):
+    """The innovation log-likelihood is a model-selection signal: the true
+    plant scores higher than a 30%-perturbed one (the estimation <-> sysid
+    bridge)."""
+    step, Q, R, m0, P0, U, Y, X_true, sigma = fossen_case
+    ll_true = float(estimation.ekf(step, lambda x: x, Q, R, m0, P0, U,
+                                   Y).loglik)
+    p_wrong = fossen_params(m=13.5 * 1.3, dtype=jnp.float64)
+    step_wrong = fossen.make_wrench_step(p_wrong, DT, "euler", "euler12")
+    ll_wrong = float(estimation.ekf(step_wrong, lambda x: x, Q, R, m0, P0,
+                                    U, Y).loglik)
+    assert ll_true > ll_wrong
+
+
+def test_ekf_vmaps_over_trajectories(fossen_case):
+    """An ensemble of filters is just vmap (pure function)."""
+    step, Q, R, m0, P0, U, Y, X_true, sigma = fossen_case
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+    Ys = jnp.stack([
+        X_true + sigma * jax.random.normal(k, X_true.shape, jnp.float64)
+        for k in keys
+    ])
+    batched = jax.vmap(
+        lambda y: estimation.ekf(step, lambda x: x, Q, R, m0, P0, U, y))
+    res = batched(Ys)
+    assert res.means.shape == (3, Y.shape[0], 12)
+    one = estimation.ekf(step, lambda x: x, Q, R, m0, P0, U, Ys[1])
+    np.testing.assert_allclose(np.asarray(res.means[1]),
+                               np.asarray(one.means), rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Data-driven filtering: KF on the lifted Koopman system
+# ---------------------------------------------------------------------------
+
+def test_koopman_kalman_filter_tracks(fossen_case):
+    step, Q, R, m0, P0, U, Y, X_true, sigma = fossen_case
+    U_fit = jnp.vstack([jnp.asarray(U), jnp.asarray(U)[-1:]])  # (N, r) contract
+    model = koopman.fit(jax.random.PRNGKey(0), X_true, U_fit,
+                        n_rbfs=60, gamma=1.0, ridge=1e-6)
+    res = estimation.koopman_kalman_filter(model, R, U, Y, q=1e-6)
+    assert res.means.shape == (Y.shape[0], 12)
+    raw = _rmse(Y, X_true)
+    filt = _rmse(res.means, X_true)
+    assert filt < 0.8 * raw, (filt, raw)
+    assert np.isfinite(float(res.loglik))
