@@ -344,6 +344,100 @@ def koopman_kalman_filter(
                         nis=res.nis)
 
 
+class NoiseFitResult(NamedTuple):
+    """Result of :func:`fit_noise` (maximum-likelihood Q/R)."""
+
+    Q: jnp.ndarray            # (n, n) fitted (diagonal) process covariance
+    R: jnp.ndarray            # (m, m) fitted (diagonal) measurement covariance
+    log_q: jnp.ndarray        # (n,) fitted log-diagonal of Q
+    log_r: jnp.ndarray        # (m,) fitted log-diagonal of R
+    losses: jnp.ndarray       # (steps,) negative mean loglik history
+
+
+def fit_noise(
+    step: Callable,
+    h: Callable,
+    m0,
+    P0,
+    U,
+    Y,
+    q0=1e-4,
+    r0=1e-2,
+    steps: int = 150,
+    lr: float = 0.1,
+    fit_q: bool = True,
+    fit_r: bool = True,
+    residual: Optional[Callable] = None,
+) -> NoiseFitResult:
+    """Maximum-likelihood noise covariances by gradient ascent on the
+    filter's innovation log-likelihood.
+
+    The whole EKF is one differentiable ``lax.scan``, so the Gaussian
+    innovation log-likelihood it returns is a trainable objective:
+    ``Q = diag(exp(log_q))`` and ``R = diag(exp(log_r))`` are fitted with
+    the same compiled full-batch Adam scan the coefficient sysid uses
+    (``models/sysid.py::_run_adam``) — the classical EM / ML noise
+    identification problem solved by autodiff through the filter.  The
+    reference has no estimator at all (it trains on raw noisy mocap
+    states); this closes that loop TPU-natively.
+
+    ``Y`` may be ``(T, m)`` (one trajectory) or ``(B, T, m)`` (a bank;
+    ``m0`` then ``(B, n)``, ``U`` ``(B, T-1, r)`` — log-likelihoods sum
+    over the bank, i.e. i.i.d. trajectories).  ``q0``/``r0`` seed the
+    log-diagonals (scalar or per-channel); set ``fit_q=False`` /
+    ``fit_r=False`` to hold one of them fixed at its seed.  The loss is
+    the negative log-likelihood per measurement vector (comparable
+    across T/B).
+    """
+    from bluerov2_dynamics_tpu.models.sysid import _run_adam
+
+    U = jnp.asarray(U)
+    Y = jnp.asarray(Y)
+    m0 = jnp.asarray(m0)
+    P0 = jnp.asarray(P0)
+    if not (fit_q or fit_r):
+        raise ValueError("at least one of fit_q/fit_r must be True")
+    batched = Y.ndim == 3
+    n = m0.shape[-1]
+    m = Y.shape[-1]
+    dtype = m0.dtype
+    log_q0 = jnp.log(jnp.broadcast_to(jnp.asarray(q0, dtype), (n,)))
+    log_r0 = jnp.log(jnp.broadcast_to(jnp.asarray(r0, dtype), (m,)))
+    theta0 = {}
+    if fit_q:
+        theta0["log_q"] = log_q0
+    if fit_r:
+        theta0["log_r"] = log_r0
+
+    n_meas = (Y.shape[0] * Y.shape[1]) if batched else Y.shape[0]
+
+    def negll(theta):
+        Q = jnp.diag(jnp.exp(theta.get("log_q", log_q0)))
+        R = jnp.diag(jnp.exp(theta.get("log_r", log_r0)))
+        if batched:
+            ll = jnp.sum(
+                jax.vmap(
+                    lambda m0_b, U_b, Y_b: ekf(
+                        step, h, Q, R, m0_b, P0, U_b, Y_b, residual=residual
+                    ).loglik
+                )(m0, U, Y)
+            )
+        else:
+            ll = ekf(step, h, Q, R, m0, P0, U, Y, residual=residual).loglik
+        return -ll / n_meas
+
+    theta, losses = _run_adam(negll, theta0, steps, lr)
+    log_q = theta.get("log_q", log_q0)
+    log_r = theta.get("log_r", log_r0)
+    return NoiseFitResult(
+        Q=jnp.diag(jnp.exp(log_q)),
+        R=jnp.diag(jnp.exp(log_r)),
+        log_q=log_q,
+        log_r=log_r,
+        losses=losses,
+    )
+
+
 def nees(result: FilterResult, X_true) -> jnp.ndarray:
     """Normalized estimation error squared per step (consistency check).
 

@@ -421,3 +421,57 @@ def sharded_koopman_fit(
         )
 
     return run(key, n_rbfs, X, U)
+
+
+def sharded_ekf_bank(
+    mesh: Mesh,
+    step: Callable,
+    h: Callable,
+    Q,
+    R,
+    m0,
+    P0,
+    U,
+    Y,
+    data_axis: str = "data",
+    residual: Callable | None = None,
+):
+    """Bank of independent EKFs, one per trajectory, sharded over the mesh.
+
+    ``U`` is ``(B, T-1, r)``, ``Y`` is ``(B, T, m)``, ``m0`` is ``(B, n)``
+    (per-trajectory prior mean); ``Q/R/P0`` are shared.  Each filter is the
+    exact single-trajectory :func:`~bluerov2_dynamics_tpu.models.estimation.ekf`
+    (vmapped), and the batch is GSPMD-sharded over ``data_axis`` — the
+    filters are embarrassingly parallel, so XLA partitions the vmapped scan
+    with no cross-device communication until the caller reduces.
+
+    Equality vs the single-device filter is pinned by
+    ``tests/test_parallel.py``; exercised by the driver dryrun.
+    """
+    from bluerov2_dynamics_tpu.models.estimation import FilterResult, ekf
+
+    U = jnp.asarray(U)
+    Y = jnp.asarray(Y)
+    m0 = jnp.asarray(m0)
+    if Y.shape[1] != U.shape[1] + 1:
+        raise ValueError(
+            f"U must have T-1={Y.shape[1] - 1} transition inputs per "
+            f"trajectory, got {U.shape[1]}"
+        )
+    batch = NamedSharding(mesh, P(data_axis))
+    repl = NamedSharding(mesh, P())
+
+    # Inputs enter replicated and the batch is constrained inside the jit
+    # (the module's standard non-divisible-batch pattern, cf.
+    # sharded_endpoint_rmse); GSPMD pads uneven shards internally.
+    @partial(jax.jit, in_shardings=(repl, repl, repl))
+    def run(m0, U, Y):
+        m0 = jax.lax.with_sharding_constraint(m0, batch)
+        U = jax.lax.with_sharding_constraint(U, batch)
+        Y = jax.lax.with_sharding_constraint(Y, batch)
+        return jax.vmap(
+            lambda m0_b, U_b, Y_b: ekf(step, h, Q, R, m0_b, P0, U_b, Y_b,
+                                       residual=residual)
+        )(m0, U, Y)
+
+    return run(m0, U, Y)

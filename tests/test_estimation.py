@@ -300,6 +300,80 @@ def test_ekf_vmaps_over_trajectories(fossen_case):
 
 
 # ---------------------------------------------------------------------------
+# Noise identification: ML Q/R by autodiff through the filter
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def noise_fit_case():
+    """A bank of trajectories from a known linear system with diagonal
+    noise — the ML identification target."""
+    rng = np.random.default_rng(21)
+    A, B, H, Q, R = _linear_system(rng)
+    B_traj, T = 8, 120
+    Xs, Us, Ys = [], [], []
+    for _ in range(B_traj):
+        X, U, Y = _simulate_linear(rng, A, B, H, Q, R, T=T)
+        Xs.append(X); Us.append(U); Ys.append(Y)
+    step = lambda x, u: jnp.asarray(A) @ x + jnp.asarray(B) @ u
+    h = lambda x: jnp.asarray(H) @ x
+    m0 = jnp.asarray(np.stack([x[0] for x in Xs]))
+    P0 = jnp.eye(A.shape[0]) * 1e-6  # trajectories start at known states
+    return (step, h, Q, R, m0, P0,
+            jnp.asarray(np.stack(Us)), jnp.asarray(np.stack(Ys)))
+
+
+def test_fit_noise_recovers_r(noise_fit_case):
+    """With Q held at truth, ML gradient ascent on the innovation
+    log-likelihood recovers the measurement covariance diagonal."""
+    step, h, Q, R, m0, P0, U, Y = noise_fit_case
+    res = estimation.fit_noise(
+        step, h, m0, P0, U, Y, q0=np.diag(Q), r0=5e-4, fit_q=False,
+        steps=250, lr=0.1)
+    # loss (negative mean loglik) decreases and the fit converges near truth
+    losses = np.asarray(res.losses)
+    assert losses[-1] < losses[0]
+    np.testing.assert_allclose(np.diag(np.asarray(res.R)), np.diag(R),
+                               rtol=0.35)
+    # Q was held fixed at its seed
+    np.testing.assert_allclose(np.diag(np.asarray(res.Q)), np.diag(Q),
+                               rtol=1e-12)
+
+
+def test_fit_noise_joint_q_r_improves_loglik(noise_fit_case):
+    """Jointly fitted (Q, R) score a higher filter log-likelihood than the
+    (badly seeded) initial pair, and land within an order of magnitude of
+    the generating noise."""
+    step, h, Q, R, m0, P0, U, Y = noise_fit_case
+    res = estimation.fit_noise(step, h, m0, P0, U, Y, q0=1e-4, r0=1e-3,
+                               steps=300, lr=0.15)
+
+    def bank_ll(Qm, Rm):
+        return float(jnp.sum(jax.vmap(
+            lambda m0b, Ub, Yb: estimation.ekf(
+                step, h, Qm, Rm, m0b, P0, Ub, Yb).loglik)(m0, U, Y)))
+
+    ll_fit = bank_ll(res.Q, res.R)
+    ll_seed = bank_ll(jnp.eye(Q.shape[0]) * 1e-4, jnp.eye(R.shape[0]) * 1e-3)
+    ll_true = bank_ll(jnp.asarray(Q), jnp.asarray(R))
+    assert ll_fit > ll_seed
+    assert ll_fit > ll_true - 0.05 * abs(ll_true)  # ML >= truth up to noise
+    assert np.all(np.diag(np.asarray(res.R)) > 0.1 * np.diag(R))
+    assert np.all(np.diag(np.asarray(res.R)) < 10.0 * np.diag(R))
+
+
+def test_fit_noise_single_trajectory_and_validation(noise_fit_case):
+    step, h, Q, R, m0, P0, U, Y = noise_fit_case
+    res = estimation.fit_noise(step, h, m0[0], P0, U[0], Y[0],
+                               q0=np.diag(Q), r0=1e-3, fit_q=False,
+                               steps=60, lr=0.2)
+    assert res.R.shape == R.shape
+    assert np.asarray(res.losses)[-1] < np.asarray(res.losses)[0]
+    with pytest.raises(ValueError, match="fit_q"):
+        estimation.fit_noise(step, h, m0[0], P0, U[0], Y[0],
+                             fit_q=False, fit_r=False)
+
+
+# ---------------------------------------------------------------------------
 # Data-driven filtering: KF on the lifted Koopman system
 # ---------------------------------------------------------------------------
 

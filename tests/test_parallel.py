@@ -366,3 +366,32 @@ def test_sharded_evaluators_nan_for_h_ge_n(mesh):
     out = shardmap_endpoint_rmse_pallas_wrench(
         mesh, p, X, TAU, 0.02, H=8, interpret=True)
     assert np.isnan(float(out))
+
+
+def test_sharded_ekf_bank_matches_single_device(rng, mesh):
+    from bluerov2_dynamics_tpu.models import estimation
+    from bluerov2_dynamics_tpu.parallel import sharded_ekf_bank
+
+    step = _linear_step(rng)
+    h = lambda x: x[:2]
+    n, m, r, T = 3, 2, 2, 30
+    Q = jnp.eye(n) * 1e-4
+    R = jnp.eye(m) * 1e-2
+    P0 = jnp.eye(n) * 0.1
+    for B in (16, 11):  # divisible and non-divisible by 8
+        U = jnp.asarray(rng.normal(size=(B, T - 1, r)))
+        Y = jnp.asarray(rng.normal(size=(B, T, m)))
+        m0 = jnp.asarray(rng.normal(size=(B, n)))
+        got = sharded_ekf_bank(mesh, step, h, Q, R, m0, P0, U, Y)
+        for b in (0, B - 1):
+            want = estimation.ekf(step, h, Q, R, m0[b], P0, U[b], Y[b])
+            np.testing.assert_allclose(np.asarray(got.means[b]),
+                                       np.asarray(want.means), rtol=1e-6,
+                                       atol=1e-9)
+            np.testing.assert_allclose(np.asarray(got.covs[b]),
+                                       np.asarray(want.covs), rtol=1e-5,
+                                       atol=1e-10)
+            np.testing.assert_allclose(float(got.loglik[b]),
+                                       float(want.loglik), rtol=1e-8)
+        with pytest.raises(ValueError):
+            sharded_ekf_bank(mesh, step, h, Q, R, m0, P0, U[:, :-1], Y)
