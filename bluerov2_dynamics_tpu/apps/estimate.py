@@ -1,0 +1,414 @@
+"""State-estimation workload: filter a noisy recording with the physics
+EKF/UKF (+ optional RTS smoother and ML noise identification).
+
+TPU-native extension — the reference trains and evaluates every model on
+the raw noisy mocap states (``train_sim_brov2_koopmanEDMDc.py:173-192``
+adds per-channel Gaussian sensor noise; nothing downstream ever filters
+it, and the tank pipeline ingests the mocap topics verbatim,
+``rosbags/bag2csv.py``).  This app closes that loop:
+
+1. the recorded thruster commands are converted to the exact per-step
+   applied wrench by one linear lag scan
+   (``thrusters.effective_wrench_history`` — the lag depends only on the
+   commands, so the 12-state filter never needs the 24 lag coordinates);
+2. an EKF (exact ``jax.jacfwd`` Jacobians of the full Fossen wrench step,
+   one ``lax.scan``) or UKF filters the recording; ``--smooth`` adds the
+   RTS backward pass;
+3. ``--fit-noise`` first identifies diagonal Q/R by maximum likelihood
+   (Adam on the innovation log-likelihood through the differentiable
+   filter, ``estimation.fit_noise``);
+4. ``--fossen-fit`` calibrates the plant coefficients on the raw states
+   before filtering (``models/sysid.py``) — sysid feeding estimation;
+5. ``--refit-koopman`` demonstrates the downstream value: a Koopman
+   model fitted on the FILTERED training states vs one fitted on the raw
+   states, both scored on the noise-free truth (synthetic data only).
+
+On synthetic data (``--synthetic [--recording]``) the generator's
+noise-free states are ground truth, so the app reports honest
+raw-vs-filtered-vs-smoothed RMSE per channel group; on a real CSV the
+consistency statistics (mean NIS vs its chi^2 expectation) and the
+innovation log-likelihood are the observable diagnostics.
+
+Usage::
+
+    python -m bluerov2_dynamics_tpu.apps.estimate --synthetic --recording \
+        --steps 8000 --smooth --fit-noise --refit-koopman
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from bluerov2_dynamics_tpu.apps import common
+from bluerov2_dynamics_tpu.apps.common import (
+    add_sysid_args,
+    base_parser,
+    fit_fossen_from_args,
+    json_sanitize,
+)
+from bluerov2_dynamics_tpu.data import csv_loader
+from bluerov2_dynamics_tpu.eval.timing import time_fn, time_fn_cold_warm
+from bluerov2_dynamics_tpu.utils.log import info, ok, warn
+
+# per-channel-group sensor-noise scales (pos, ang, vel, angvel) matching
+# the pseudo recording generator's defaults (data/synthetic.py)
+DEFAULT_R_SCALES = (1e-3, 2e-3, 1e-3, 2e-3)
+GROUPS = (("position", 0, 3), ("attitude", 3, 6),
+          ("lin. velocity", 6, 9), ("ang. velocity", 9, 12))
+
+
+def build_parser():
+    ap = base_parser(
+        "Filter a (noisy) thruster-contract recording with the physics "
+        "EKF/UKF; optional RTS smoothing, ML noise identification, plant "
+        "calibration, and a raw-vs-filtered Koopman refit comparison."
+    )
+    g = ap.add_argument_group("estimation")
+    g.add_argument("--filter", choices=("ekf", "ukf"), default="ekf",
+                   help="forward filter (ekf: exact jacfwd Jacobians; "
+                        "ukf: sigma points, no Jacobians)")
+    g.add_argument("--smooth", action="store_true",
+                   help="add the RTS backward pass (ekf only)")
+    g.add_argument("--q", type=float, default=1e-6,
+                   help="process-noise variance (isotropic diagonal; "
+                        "absorbs model mismatch, e.g. the recording's "
+                        "±10%% perturbed generator coefficients)")
+    g.add_argument("--r-scales", type=float, nargs=4,
+                   default=list(DEFAULT_R_SCALES),
+                   metavar=("POS", "ANG", "VEL", "ANGVEL"),
+                   help="measurement-noise standard deviations per channel "
+                        "group (default: the pseudo recording's generator "
+                        "values)")
+    g.add_argument("--p0", type=float, default=1e-2,
+                   help="prior covariance scale (isotropic)")
+    g.add_argument("--fit-noise", action="store_true",
+                   help="identify diagonal Q/R by maximum likelihood "
+                        "before filtering (estimation.fit_noise; Adam on "
+                        "the innovation log-likelihood)")
+    g.add_argument("--fit-noise-window", type=int, default=4000,
+                   help="recording prefix length the ML noise fit runs on")
+    g.add_argument("--fit-noise-steps", type=int, default=200)
+    g.add_argument("--fit-noise-lr", type=float, default=0.15)
+    g.add_argument("--fit-noise-seglen", type=int, default=250,
+                   help="the fit window is cut into contiguous segments of "
+                        "this length and filtered as a vmapped BANK "
+                        "(estimation.segment_trajectory) — parallel on "
+                        "device instead of one window-long sequential "
+                        "gradient chain; 0 = one unsegmented window")
+    g.add_argument("--no-lag", action="store_true",
+                   help="drive the filter plant with the static thruster "
+                        "curve instead of the lag-filtered wrench history")
+    g.add_argument("--refit-koopman", action="store_true",
+                   help="fit Koopman on raw vs filtered training states and "
+                        "score both on the noise-free truth (synthetic "
+                        "data only)")
+    g.add_argument("--out-csv", type=str, default=None,
+                   help="write the filtered (or smoothed) states + commands "
+                        "as a thruster-contract CSV any tank app can load")
+    g.add_argument("--json-out", type=str, default=None,
+                   help="write a JSON run record")
+    add_sysid_args(ap)
+    return ap
+
+
+def _load(args):
+    """Returns (X noisy (N,12), U commands (N,8), X_true or None, dt,
+    input_delay)."""
+    if args.synthetic or args.csv is None:
+        import jax
+
+        from bluerov2_dynamics_tpu.data.synthetic import (
+            generate_sim_dataset,
+            generate_tank_recording,
+        )
+
+        if getattr(args, "recording", False):
+            info(f"Generating pseudo tank recording: {args.steps} steps @ "
+                 f"dt={args.dt} (coeff jitter ±{args.coeff_jitter:.0%})")
+            sim = generate_tank_recording(
+                jax.random.PRNGKey(args.seed), n_steps=args.steps,
+                dt=args.dt, jitter=args.coeff_jitter)
+        else:
+            info(f"Generating synthetic dataset: {args.steps} steps @ "
+                 f"dt={args.dt}")
+            sim = generate_sim_dataset(
+                jax.random.PRNGKey(args.seed), n_steps=args.steps,
+                dt=args.dt)
+        # generated datasets record each command next to the state it
+        # PRODUCED -> the transition X[k] -> X[k+1] is driven by U[k+1]
+        return (np.asarray(sim.X, np.float32), np.asarray(sim.U, np.float32),
+                np.asarray(sim.X_true, np.float32), args.dt, 1)
+    csv_path = Path(args.csv)
+    if csv_path.is_dir():
+        csv_path = csv_loader.find_latest_csv(csv_path, args.csv_name)
+    ds = csv_loader.load_thruster_dataset(csv_path)
+    # real 50 Hz recordings pair U[k] with the state it is about to act on
+    return (np.asarray(ds.X, np.float32), np.asarray(ds.U, np.float32),
+            None, ds.dt, 0)
+
+
+def _group_rmse(A, B):
+    """Per-channel-group RMSE dict between (N,12) arrays."""
+    A = np.asarray(A, np.float64)
+    B = np.asarray(B, np.float64)
+    out = {}
+    for name, lo, hi in GROUPS:
+        out[name] = float(np.sqrt(np.mean((A[:, lo:hi] - B[:, lo:hi]) ** 2)))
+    out["all"] = float(np.sqrt(np.mean((A - B) ** 2)))
+    return out
+
+
+def _print_rmse_table(rows):
+    """rows: name -> group-RMSE dict."""
+    names = list(rows)
+    header = "  Signal                |" + "|".join(
+        f" {n:>12} " for n in names)
+    print("\n[metrics] RMSE vs noise-free truth:")
+    print(header)
+    print("  " + "-" * (len(header) - 2))
+    for gname, _, _ in GROUPS:
+        print(f"  {gname:<21} |" + "|".join(
+            f" {rows[n][gname]:>12.6f} " for n in names))
+    print(f"  {'all channels':<21} |" + "|".join(
+        f" {rows[n]['all']:>12.6f} " for n in names))
+
+
+def _save_figure(path, dt, X, X_filt, X_sm, X_true, nis, nis_expect,
+                 seconds=20.0, t0_frac=0.4):
+    """One panel per channel group (z, psi, u, r) on a zoomed window:
+    truth (if available), raw sensor, filtered, smoothed; NIS running mean
+    in the title.  Scoped Agg backend like viz/plots.py."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    chans = ((2, "z"), (5, "psi"), (6, "u"), (11, "r"))
+    units = {"z": "m", "psi": "rad", "u": "m/s", "r": "rad/s"}
+    N = X.shape[0]
+    w = min(int(seconds / max(dt, 1e-9)), N)
+    s = int(t0_frac * (N - w))
+    t = (np.arange(s, s + w) - s) * dt
+    errors = X_true is not None
+    fig, axes = plt.subplots(2, 2, figsize=(10, 6), dpi=150, sharex=True)
+    for ax, (c, name) in zip(axes.ravel(), chans):
+        # with ground truth, plot the ERRORS — the filter's value is
+        # invisible on overlapping traces at mocap noise scales
+        ref = X_true[s:s + w, c] if errors else 0.0
+        ax.plot(t, X[s:s + w, c] - ref, ".", ms=2, color="0.65",
+                label="raw sensor")
+        ax.plot(t, X_filt[s:s + w, c] - ref, lw=1.0, label="filtered")
+        if X_sm is not None:
+            ax.plot(t, X_sm[s:s + w, c] - ref, lw=1.0, ls="--",
+                    label="smoothed")
+        if errors:
+            ax.axhline(0.0, color="k", lw=0.6)
+            ax.set_ylabel(f"{name} error [{units[name]}]")
+        else:
+            ax.set_ylabel(f"{name} [{units[name]}]")
+        ax.grid(alpha=0.3)
+    for ax in axes[1]:
+        ax.set_xlabel("t [s]")
+    axes[0, 0].legend(loc="best", fontsize=8)
+    kind = "error vs truth" if errors else "estimates"
+    fig.suptitle(f"State estimation on the recording ({kind}) — mean NIS "
+                 f"{float(np.mean(nis)):.2f} (chi^2 expectation "
+                 f"{nis_expect})")
+    fig.tight_layout()
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(path)
+    plt.close(fig)
+    ok(f"Wrote estimation figure -> {path}")
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from bluerov2_dynamics_tpu.models import estimation, fossen
+    from bluerov2_dynamics_tpu.models.params import (
+        fossen_params,
+        lag_params,
+        thruster_config,
+    )
+    from bluerov2_dynamics_tpu.models.thrusters import effective_wrench_history
+
+    args = build_parser().parse_args(argv)
+    X, U, X_true, dt, delay = _load(args)
+    N = X.shape[0]
+    info(f"Dataset: {N} rows @ dt={dt:.4f} (input delay {delay})")
+
+    record = {"n_rows": N, "dt": dt, "filter": args.filter}
+
+    # ---- plant: nominal or sysid-calibrated physics --------------------
+    p = fossen_params()
+    cfg = thruster_config()
+    lag = lag_params(dt)
+    n_tr = int(args.train_split * N)
+    sysid_res = fit_fossen_from_args(args, jnp.asarray(X[:n_tr]),
+                                     jnp.asarray(U[:n_tr]), dt)
+    if sysid_res is not None:
+        p, cfg = sysid_res.params, sysid_res.cfg
+        record["plant"] = "fitted"
+    else:
+        record["plant"] = "nominal"
+
+    # ---- exact wrench inputs from the command history ------------------
+    TAU = effective_wrench_history(cfg, lag, U, use_lag=not args.no_lag)
+    TAU_trans = jnp.asarray(TAU)[delay:delay + N - 1]          # (N-1, 6)
+    step = fossen.make_wrench_step(p, dt, "euler", "euler12")
+    h = lambda x: x
+
+    # ---- noise model ----------------------------------------------------
+    r_diag = np.repeat(np.asarray(args.r_scales, np.float64) ** 2, 3)
+    Q = jnp.eye(12, dtype=jnp.float32) * args.q
+    R = jnp.asarray(np.diag(r_diag), jnp.float32)
+    P0 = jnp.eye(12, dtype=jnp.float32) * args.p0
+    Y = jnp.asarray(X)
+    m0 = Y[0]
+
+    if args.fit_noise:
+        W = min(args.fit_noise_window, N)
+        L = args.fit_noise_seglen
+        if L and W // L >= 2:
+            m0_f, U_f, Y_f = estimation.segment_trajectory(
+                TAU_trans[:W - 1], Y[:W], L)
+            info(f"ML noise identification on the first {W} rows as a "
+                 f"{U_f.shape[0]}x{L}-segment bank "
+                 f"({args.fit_noise_steps} Adam steps)...")
+        else:
+            m0_f, U_f, Y_f = m0, TAU_trans[:W - 1], Y[:W]
+            info(f"ML noise identification on the first {W} rows "
+                 f"({args.fit_noise_steps} Adam steps)...")
+        fit, t_fit = time_fn(
+            lambda: estimation.fit_noise(
+                step, h, m0_f, P0, U_f, Y_f,
+                q0=args.q, r0=r_diag.astype(np.float32),
+                steps=args.fit_noise_steps, lr=args.fit_noise_lr),
+            warmup=0)
+        Q, R = fit.Q, fit.R
+        q_grp = {g: float(np.sqrt(np.mean(
+            np.exp(np.asarray(fit.log_q, np.float64))[lo:hi])))
+            for g, lo, hi in GROUPS}
+        r_grp = {g: float(np.sqrt(np.mean(
+            np.exp(np.asarray(fit.log_r, np.float64))[lo:hi])))
+            for g, lo, hi in GROUPS}
+        ok(f"Noise fitted in {t_fit:.2f} s (incl. compile): negll/meas "
+           f"{float(fit.losses[0]):.3f} -> {float(fit.losses[-1]):.3f}")
+        info("  fitted per-group RMS sigma:  " + "  ".join(
+            f"{g}: q={q_grp[g]:.2e} r={r_grp[g]:.2e}" for g in q_grp))
+        record["fit_noise"] = {
+            "seconds": t_fit,
+            "negll_first": float(fit.losses[0]),
+            "negll_last": float(fit.losses[-1]),
+            "q_diag": np.asarray(fit.log_q, np.float64).tolist(),
+            "r_diag": np.asarray(fit.log_r, np.float64).tolist(),
+        }
+
+    # ---- filter ----------------------------------------------------------
+    run_filter = {
+        "ekf": lambda: estimation.ekf(step, h, Q, R, m0, P0, TAU_trans, Y),
+        "ukf": lambda: estimation.ukf(step, h, Q, R, m0, P0, TAU_trans, Y),
+    }[args.filter]
+    res, cold, warm = time_fn_cold_warm(run_filter)
+    nis_mean = float(jnp.mean(res.nis))
+    ok(f"{args.filter.upper()} over {N} steps: warm {warm:.4f} s "
+       f"(cold incl. compile {cold:.2f} s); loglik {float(res.loglik):.1f}, "
+       f"mean NIS {nis_mean:.2f} (chi^2 expectation {Y.shape[1]})")
+    record.update({"loglik": float(res.loglik), "nis_mean": nis_mean,
+                   "filter_warm_s": warm, "filter_cold_s": cold})
+
+    sm = None
+    if args.smooth:
+        if args.filter != "ekf":
+            raise SystemExit("--smooth composes with --filter ekf")
+        sm, cold_s, warm_s = time_fn_cold_warm(
+            lambda: estimation.rts_smooth(step, Q, TAU_trans, res))
+        ok(f"RTS smoother backward pass: warm {warm_s:.4f} s "
+           f"(cold {cold_s:.2f} s)")
+        record.update({"smooth_warm_s": warm_s, "smooth_cold_s": cold_s})
+
+    X_filt = np.asarray(res.means)
+    X_best = np.asarray(sm.means) if sm is not None else X_filt
+
+    # ---- accuracy vs truth (synthetic only) ------------------------------
+    if X_true is not None:
+        rows = {"raw sensor": _group_rmse(X, X_true),
+                args.filter.upper(): _group_rmse(X_filt, X_true)}
+        if sm is not None:
+            rows["RTS smoothed"] = _group_rmse(np.asarray(sm.means), X_true)
+        _print_rmse_table(rows)
+        record["rmse_vs_truth"] = rows
+        ne = estimation.nees(res, jnp.asarray(X_true))
+        record["nees_mean"] = float(jnp.mean(ne[10:]))
+        info(f"mean NEES (post-transient): {record['nees_mean']:.2f} "
+             f"(chi^2 expectation 12)")
+    else:
+        info("No ground truth available (real CSV) — NIS/loglik are the "
+             "consistency diagnostics.")
+
+    # ---- downstream value: Koopman refit on filtered states --------------
+    if args.refit_koopman:
+        if X_true is None:
+            raise SystemExit("--refit-koopman needs ground truth; run with "
+                             "--synthetic [--recording]")
+        from bluerov2_dynamics_tpu.models import koopman
+
+        key = jax.random.PRNGKey(args.seed)
+        X_te_true = jnp.asarray(X_true[n_tr:])
+        U_te = jnp.asarray(U[n_tr:])
+        rows_k = {}
+        for label, Xtr in (("raw", X[:n_tr]), ("filtered", X_best[:n_tr])):
+            model = koopman.fit(
+                key, jnp.asarray(Xtr), jnp.asarray(U[:n_tr]),
+                n_rbfs=args.n_rbfs, gamma=args.gamma, ridge=args.ridge,
+                position_invariant=args.koopman_position_invariant)
+            rows_k[label] = {
+                H: float(koopman.multistep_rmse(
+                    model, X_te_true, U_te, H=H,
+                    method=common.koopman_method(args)))
+                for H in common.HORIZONS
+            }
+        print("\n[metrics] Koopman endpoint RMSE on NOISE-FREE truth "
+              "(train on raw vs filtered states):")
+        print("  Train states          |" + "|".join(
+            f" {('H=%d' % H):>10} " for H in common.HORIZONS))
+        for label, vals in rows_k.items():
+            print(f"  {label:<21} |" + "|".join(
+                f" {vals[H]:>10.6f} " for H in common.HORIZONS))
+        record["koopman_refit"] = {
+            k: {str(H): v for H, v in d.items()} for k, d in rows_k.items()}
+
+    # ---- artifacts --------------------------------------------------------
+    if not args.no_media:
+        try:
+            _save_figure(
+                Path(args.media_dir) / "estimate_channels.png", dt, X,
+                X_filt, np.asarray(sm.means) if sm is not None else None,
+                X_true, np.asarray(res.nis), Y.shape[1])
+        except ImportError:
+            warn("matplotlib unavailable — skipping the estimation figure")
+
+    if args.out_csv:
+        cols = (["t"] + csv_loader.EULER12_COLS + csv_loader.THRUSTER_COLS)
+        t = np.arange(N) * dt
+        data = np.column_stack([t, X_best, U])
+        path = Path(args.out_csv)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.savetxt(path, data, delimiter=",", comments="",
+                   header=",".join(cols))
+        ok(f"Wrote {'smoothed' if sm is not None else 'filtered'} "
+           f"thruster-contract CSV -> {path}")
+
+    if args.json_out:
+        path = Path(args.json_out)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(json_sanitize(record), indent=2))
+        ok(f"Wrote JSON run record -> {path}")
+    return record
+
+
+if __name__ == "__main__":
+    main()

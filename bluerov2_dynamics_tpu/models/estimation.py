@@ -438,6 +438,42 @@ def fit_noise(
     )
 
 
+def segment_trajectory(U, Y, length: int):
+    """Cut one recording into a bank of ``length``-step trajectories for
+    :func:`fit_noise` (and any vmapped filter bank).
+
+    ``U`` ``(T-1, r)`` / ``Y`` ``(T, m)`` become ``U_b`` ``(B, length-1, r)``
+    / ``Y_b`` ``(B, length, m)`` with ``B = T // length`` contiguous
+    non-overlapping segments (the tail remainder is dropped); ``m0_b`` is
+    ``Y`` at each segment start (measurement as prior mean — pair it with a
+    sensor-scale ``P0``; this assumes full-state measurements like the
+    mocap recordings, ``h ~ identity`` — for partial measurements supply
+    your own per-segment priors instead).
+
+    Why segment: one T-step filter is one *sequential* ``lax.scan`` chain
+    of tiny 12-dim ops — latency-bound on TPU, and a single gradient-of-
+    filter execution spanning hundreds of thousands of chained steps runs
+    for minutes on device (measured: >~1 min single executions crash the
+    tunneled worker).  A bank of B segments is a ``vmap`` — B-way
+    parallel, sequential only within ``length`` — with identical ML
+    semantics except the prior resets at segment boundaries (standard
+    minibatch practice for noise EM).
+    """
+    U = jnp.asarray(U)
+    Y = jnp.asarray(Y)
+    if Y.shape[0] != U.shape[0] + 1:
+        raise ValueError(
+            f"U must have T-1={Y.shape[0] - 1} rows, got {U.shape[0]}")
+    if length < 2 or length > Y.shape[0]:
+        raise ValueError(f"segment length {length} not in [2, {Y.shape[0]}]")
+    B = Y.shape[0] // length
+    starts = jnp.arange(B) * length
+    Y_b = Y[: B * length].reshape(B, length, Y.shape[1])
+    idx = starts[:, None] + jnp.arange(length - 1)[None, :]
+    U_b = U[idx]
+    return Y_b[:, 0], U_b, Y_b
+
+
 def nees(result: FilterResult, X_true) -> jnp.ndarray:
     """Normalized estimation error squared per step (consistency check).
 

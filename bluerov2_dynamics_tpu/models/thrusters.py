@@ -16,6 +16,7 @@ step and the resulting dynamic thrust is zero-order-held across RK4 stages
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from bluerov2_dynamics_tpu.models.params import LagParams, ThrusterConfig
@@ -87,6 +88,38 @@ def thruster_wrench_nolag(cfg: ThrusterConfig, u8):
     """Static-curve-only wrench (lag disabled), cf. the commented-out path
     at ``fossen/BlueROV2.py:260-261``."""
     return wrench_from_thrust(cfg, static_thrust(cfg, u8))
+
+
+def effective_wrench_history(cfg: ThrusterConfig, lag: LagParams, U,
+                             lag_state0=None, use_lag: bool = True):
+    """Per-step applied body wrench ``(N, 6)`` over a recorded command
+    sequence ``U`` ``(N, 8)``.
+
+    Entry ``k`` is the wrench the vehicle experienced during the step that
+    consumed ``U[k]``, with the third-order lag advanced exactly as
+    ``fossen.make_thruster_step`` does (once per outer step, from at-rest
+    filters unless ``lag_state0`` is given).  The lag dynamics depend only
+    on the commands — never on the vehicle state — so the entire history
+    is one linear ``lax.scan``.  This converts a thruster-contract
+    recording into the wrench-input contract *exactly*
+    (``simulate_thruster(...) == simulate_wrench(..., history)``, pinned
+    by ``tests/test_fossen.py``), which is what lets a 12-state EKF run on
+    a thruster dataset without augmenting its state with the 24 lag
+    coordinates (``apps/estimate.py``).
+    """
+    U = jnp.asarray(U)
+    F_cmd = static_thrust(cfg, U)
+    if not use_lag:
+        return wrench_from_thrust(cfg, F_cmd)
+    if lag_state0 is None:
+        lag_state0 = init_lag_state(dtype=F_cmd.dtype)
+
+    def body(L, f):
+        new_L, F_dyn = lag_step(lag, L, f)
+        return new_L, F_dyn
+
+    _, F_hist = jax.lax.scan(body, lag_state0, F_cmd)
+    return wrench_from_thrust(cfg, F_hist)
 
 
 def tf_to_ss(num, den):

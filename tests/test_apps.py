@@ -501,3 +501,58 @@ def test_control_demo_app(tmp_path, capsys):
         assert out[task]["final_norm"] < 0.1 * out[task]["initial_norm"], task
     assert out["waypoint"]["terminal_error"] < 0.05
     assert (tmp_path / "media" / "control_demo_2D.png").exists()
+
+
+def test_estimate_app_filter_beats_raw(tmp_path, capsys):
+    """EKF + ML noise fit + RTS on the pseudo recording: the smoothed
+    states beat the raw sensors on every channel group, the NIS lands near
+    its chi^2 expectation, and the written CSV round-trips the thruster
+    contract."""
+    from bluerov2_dynamics_tpu.apps import estimate
+    from bluerov2_dynamics_tpu.data import csv_loader
+
+    out_csv = tmp_path / "filtered.csv"
+    rec = estimate.main([
+        "--synthetic", "--recording", "--steps", "1200",
+        "--smooth", "--fit-noise", "--fit-noise-window", "400",
+        "--fit-noise-steps", "60",
+        "--out-csv", str(out_csv),
+        "--json-out", str(tmp_path / "rec.json"),
+    ])
+    rows = rec["rmse_vs_truth"]
+    for g in ("position", "attitude", "all"):
+        assert rows["RTS smoothed"][g] < rows["raw sensor"][g], g
+    assert rows["RTS smoothed"]["all"] < rows["EKF"]["all"]
+    assert 3.0 < rec["nis_mean"] < 40.0   # chi^2_12 expectation = 12
+    text = capsys.readouterr().out
+    assert "RMSE vs noise-free truth" in text
+    assert "Noise fitted" in text
+
+    ds = csv_loader.load_thruster_dataset(out_csv)
+    assert ds.X.shape == (1200, 12) and ds.U.shape == (1200, 8)
+    assert abs(ds.dt - 0.02) < 1e-9
+    assert (tmp_path / "rec.json").exists()
+
+
+def test_estimate_app_ukf_and_refit_koopman(tmp_path, capsys):
+    from bluerov2_dynamics_tpu.apps import estimate
+
+    rec = estimate.main([
+        "--synthetic", "--recording", "--steps", "900",
+        "--filter", "ukf",
+        "--refit-koopman", "--n-rbfs", "40", "--gamma", "1.0",
+        "--ridge", "1e-3",
+    ])
+    assert "koopman_refit" in rec
+    assert set(rec["koopman_refit"]) == {"raw", "filtered"}
+    for d in rec["koopman_refit"].values():
+        assert all(np.isfinite(v) for v in d.values())
+    assert "UKF" in capsys.readouterr().out
+
+
+def test_estimate_app_validation_errors(tmp_path):
+    from bluerov2_dynamics_tpu.apps import estimate
+
+    with pytest.raises(SystemExit, match="ekf"):
+        estimate.main(["--synthetic", "--steps", "300", "--filter", "ukf",
+                       "--smooth"])

@@ -388,3 +388,33 @@ def test_koopman_kalman_filter_tracks(fossen_case):
     filt = _rmse(res.means, X_true)
     assert filt < 0.8 * raw, (filt, raw)
     assert np.isfinite(float(res.loglik))
+
+
+def test_segment_trajectory_banks_match_manual(fossen_case):
+    """Full-state (mocap-style) measurements: m0 per segment is the
+    measured state at the segment start."""
+    step, Q, R, m0, P0, U, Y, X_true, sigma = fossen_case
+    h = lambda x: x
+    U1, Y1 = jnp.asarray(U), jnp.asarray(Y)  # (T-1, r), (T, m)
+    m0_b, U_b, Y_b = estimation.segment_trajectory(U1, Y1, 50)
+    B = Y1.shape[0] // 50
+    assert Y_b.shape == (B, 50, Y1.shape[1])
+    assert U_b.shape == (B, 49, U1.shape[1])
+    for b in range(B):
+        s = b * 50
+        np.testing.assert_array_equal(np.asarray(Y_b[b]),
+                                      np.asarray(Y1[s:s + 50]))
+        np.testing.assert_array_equal(np.asarray(U_b[b]),
+                                      np.asarray(U1[s:s + 49]))
+        np.testing.assert_array_equal(np.asarray(m0_b[b]),
+                                      np.asarray(Y1[s]))
+    # a banked filter on the segments == per-segment filters
+    bank = jax.vmap(lambda m0b, Ub, Yb: estimation.ekf(
+        step, h, Q, R, m0b, P0, Ub, Yb))(m0_b, U_b, Y_b)
+    one = estimation.ekf(step, h, Q, R, m0_b[1], P0, U_b[1], Y_b[1])
+    np.testing.assert_allclose(np.asarray(bank.means[1]),
+                               np.asarray(one.means), rtol=1e-12)
+    with pytest.raises(ValueError, match="T-1"):
+        estimation.segment_trajectory(U1[:-2], Y1, 50)
+    with pytest.raises(ValueError, match="segment length"):
+        estimation.segment_trajectory(U1, Y1, 1)

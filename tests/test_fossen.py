@@ -301,3 +301,28 @@ def test_parameter_ensemble_vmap(rng):
     # heavier vehicles accelerate less under the same wrench
     acc_mag = np.linalg.norm(np.asarray(xdots[:, 6:9]), axis=1)
     assert acc_mag[np.argmax(masses)] < acc_mag[np.argmin(masses)]
+
+
+def test_effective_wrench_history_reproduces_thruster_rollout(rng):
+    """simulate_thruster == simulate_wrench on the precomputed effective
+    wrench history: the lag depends only on commands, so the conversion is
+    exact (the apps/estimate.py 12-state EKF plant construction)."""
+    from bluerov2_dynamics_tpu.models.thrusters import effective_wrench_history
+
+    dt = 0.02
+    lag = lag_params(dt, dtype=jnp.float64)
+    U = jnp.asarray(np.clip(rng.normal(size=(200, 8)) * 0.4, -1, 1))
+    x0 = jnp.asarray(_random_state12(rng, 1)[0])
+    for method in ("euler", "rk4"):
+        want = fossen.simulate_thruster(P64, CFG64, lag, x0, U, dt,
+                                        method=method)
+        TAU = effective_wrench_history(CFG64, lag, U)
+        got = fossen.simulate_wrench(P64, x0, TAU, dt, method=method)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=1e-12)
+    # lag-free variant matches the nolag step path
+    TAU0 = effective_wrench_history(CFG64, lag, U, use_lag=False)
+    np.testing.assert_allclose(
+        np.asarray(TAU0),
+        np.asarray(wrench_from_thrust(CFG64, static_thrust(CFG64, U))),
+        atol=0)
