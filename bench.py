@@ -1064,6 +1064,60 @@ def run_full(only: str | None = None):
                         f"s/call ({n_start * H / warm:.3e} steps/s)",
                         None))
 
+    def sec_estimation():
+        # EKF throughput at the estimation workload's two shapes
+        # (apps/estimate.py, RESULTS.md §2d): a vmapped segment BANK
+        # (the fit_noise / sharded_ekf_bank shape — parallel over
+        # segments, sequential only within one) and the full-recording
+        # single sequential filter.  Chained via the m0 dependency
+        # (previous call's final means perturb the next call's priors by
+        # 1e-20) — the ONE timing discipline.  Each step is one exact
+        # jacfwd of the Fossen wrench step + a Joseph-form update
+        # (12x12 ops; latency-bound sequentially, which is exactly why
+        # the bank shape exists).
+        from bluerov2_dynamics_tpu.models import estimation, fossen
+        from bluerov2_dynamics_tpu.models.params import fossen_params
+
+        p = fossen_params()
+        step = fossen.make_wrench_step(p, dt, "euler", "euler12")
+        h = lambda x: x
+        Q = jnp.eye(12, dtype=jnp.float32) * 1e-6
+        R = jnp.eye(12, dtype=jnp.float32) * 1e-6
+        P0 = jnp.eye(12, dtype=jnp.float32) * 1e-2
+        key = jax.random.PRNGKey(0)
+
+        B, T = 2048, 250
+        ks = jax.random.split(key, 3)
+        TAU_b = 2.0 * jax.random.normal(ks[0], (B, T - 1, 6), jnp.float32)
+        Y_b = 0.02 * jax.random.normal(ks[1], (B, T, 12), jnp.float32)
+
+        @jax.jit
+        def bank(m0):
+            res = jax.vmap(
+                lambda m0b, Ub, Yb: estimation.ekf(step, h, Q, R, m0b, P0,
+                                                   Ub, Yb)
+            )(m0, TAU_b, Y_b)
+            return Y_b[:, 0] + 1e-20 * res.means[:, -1]
+
+        sps, warm = chained_steps_per_sec(bank, Y_b[:, 0], B * T, 3)
+        rows.append(("ekf_bank_2048x250_filter_updates_per_sec", sps,
+                     f"updates/s ({warm:.3f} s/call)", None))
+
+        N1 = 45823
+        TAU_1 = 2.0 * jax.random.normal(ks[2], (N1 - 1, 6), jnp.float32)
+        Y_1 = 0.02 * jax.random.normal(ks[1], (N1, 12), jnp.float32)
+
+        @jax.jit
+        def single(m0):
+            res = estimation.ekf(step, h, Q, R, m0[0], P0, TAU_1, Y_1)
+            return Y_1[:2] + 1e-20 * res.means[-1]
+
+        _, warm1 = chained_steps_per_sec(single, Y_1[:2], N1, 3)
+        rows.append(("ekf_single_45823_warm_s", warm1,
+                     f"s/call ({N1 / warm1:.3e} updates/s; sequential "
+                     "latency-bound — the bank shape is the TPU answer)",
+                     None))
+
     # window_blocks is a ~12-minute 30-compile tuning sweep: kept out of
     # the default --full pass (its result is a committed DEFAULT, not a
     # per-round measurement); rerun explicitly when retuning.
@@ -1077,6 +1131,7 @@ def run_full(only: str | None = None):
         "layouts": sec_layouts,
         "mxu": sec_mxu,
         "numerics_guard": sec_numerics_guard,
+        "estimation": sec_estimation,
         "ingest": sec_ingest,
     }
     if only is not None and only not in sections:

@@ -67,9 +67,16 @@ def build_parser():
         "calibration, and a raw-vs-filtered Koopman refit comparison."
     )
     g = ap.add_argument_group("estimation")
-    g.add_argument("--filter", choices=("ekf", "ukf"), default="ekf",
+    g.add_argument("--filter", choices=("ekf", "ukf", "koopman"),
+                   default="ekf",
                    help="forward filter (ekf: exact jacfwd Jacobians; "
-                        "ukf: sigma points, no Jacobians)")
+                        "ukf: sigma points, no Jacobians; koopman: the "
+                        "exact linear KF on the lifted system of an EDMDc "
+                        "model fitted to the training split — data-driven "
+                        "filtering, no physics anywhere)")
+    g.add_argument("--koopman-q", type=float, default=1e-6,
+                   help="lifted-space process-noise scale for "
+                        "--filter koopman")
     g.add_argument("--smooth", action="store_true",
                    help="add the RTS backward pass (ekf only)")
     g.add_argument("--q", type=float, default=1e-6,
@@ -308,10 +315,26 @@ def main(argv=None):
         }
 
     # ---- filter ----------------------------------------------------------
-    run_filter = {
-        "ekf": lambda: estimation.ekf(step, h, Q, R, m0, P0, TAU_trans, Y),
-        "ukf": lambda: estimation.ukf(step, h, Q, R, m0, P0, TAU_trans, Y),
-    }[args.filter]
+    if args.filter == "koopman":
+        # data-driven filter: fit EDMDc on the (noisy) training split,
+        # then run the EXACT linear KF on its lifted system.  The model's
+        # own pairing convention (X[k] -> X[k+1] driven by U[k], the
+        # evaluator convention every app fits with) fixes the input slice.
+        model, _, fit_warm = common.fit_koopman_from_args(
+            args, jax.random.PRNGKey(args.seed), jnp.asarray(X[:n_tr]),
+            jnp.asarray(U[:n_tr]))
+        ok(f"EDMDc model fitted on the training split for the lifted KF "
+           f"({args.n_rbfs} RBFs, warm {fit_warm:.3f} s)")
+        U_k = jnp.asarray(U[:N - 1])
+        run_filter = lambda: estimation.koopman_kalman_filter(
+            model, R, U_k, Y, q=args.koopman_q)
+    else:
+        run_filter = {
+            "ekf": lambda: estimation.ekf(step, h, Q, R, m0, P0,
+                                          TAU_trans, Y),
+            "ukf": lambda: estimation.ukf(step, h, Q, R, m0, P0,
+                                          TAU_trans, Y),
+        }[args.filter]
     res, cold, warm = time_fn_cold_warm(run_filter)
     nis_mean = float(jnp.mean(res.nis))
     ok(f"{args.filter.upper()} over {N} steps: warm {warm:.4f} s "

@@ -325,23 +325,57 @@ def koopman_kalman_filter(
     is meaningful).  ``m0`` defaults to lifting ``Y[0]``.  Returns a
     :class:`FilterResult` in the *state* space (means decoded through
     the readout; covs are the readout-projected lifted covariances).
+
+    The (n, n) projection happens INSIDE the scan: materializing the
+    (T, d, d) lifted covariance history first is 48 GB at the tank
+    recording's scale (T=45,823, d=512) and OOMs the device; the carry
+    holds one (d, d) covariance and the outputs are state-space sized.
+    All lifted GEMMs run at HIGHEST matmul precision — the first ``n``
+    lifted coordinates are raw state values, the round-2 bf16
+    cancellation class (see ``models/koopman.py``).
     """
     n = model.state_dim
     d = model.lift_dim
+    dtype = model.A.dtype
     if model.decoder is not None:
-        H = model.decoder
+        Hm = model.decoder
     else:
-        H = jnp.zeros((n, d), model.A.dtype).at[:, :n].set(jnp.eye(n, dtype=model.A.dtype))
+        Hm = jnp.zeros((n, d), dtype).at[:, :n].set(jnp.eye(n, dtype=dtype))
+    U = jnp.asarray(U)
     Y = jnp.asarray(Y)
+    if Y.shape[0] != U.shape[0] + 1:
+        raise ValueError(
+            f"U must have T-1={Y.shape[0] - 1} rows (transition inputs), "
+            f"got {U.shape[0]}"
+        )
     if m0 is None:
         m0 = lift(model, Y[0])
-    P0 = jnp.eye(d, dtype=model.A.dtype) * p0 if P0 is None else P0
-    Q = jnp.eye(d, dtype=model.A.dtype) * q
-    res = kalman_filter(model.A, model.B, H, Q, R, m0, P0, U, Y)
-    means = res.means @ H.T
-    covs = jnp.einsum("ij,tjk,lk->til", H, res.covs, H)
-    return FilterResult(means=means, covs=covs, loglik=res.loglik,
-                        nis=res.nis)
+    P0 = jnp.eye(d, dtype=dtype) * p0 if P0 is None else P0
+    Q = jnp.eye(d, dtype=dtype) * q
+    A, B = model.A, model.B
+    h_lift = lambda z: Hm @ z
+
+    def run():
+        z, P, nis0, ll0 = _update(m0, P0, Y[0], h_lift, R, None)
+
+        def body(carry, inp):
+            z, P = carry
+            u, y = inp
+            z_pred = A @ z + B @ u
+            P_pred = _sym(A @ P @ A.T + Q)
+            z, P, nis, ll = _update(z_pred, P_pred, y, h_lift, R, None)
+            return (z, P), (Hm @ z, Hm @ P @ Hm.T, nis, ll)
+
+        (_, _), (ms, Ps, niss, lls) = jax.lax.scan(body, (z, P), (U, Y[1:]))
+        return FilterResult(
+            means=jnp.concatenate([(Hm @ z)[None], ms]),
+            covs=jnp.concatenate([(Hm @ P @ Hm.T)[None], Ps]),
+            loglik=ll0 + jnp.sum(lls),
+            nis=jnp.concatenate([nis0[None], niss]),
+        )
+
+    with jax.default_matmul_precision("highest"):
+        return run()
 
 
 class NoiseFitResult(NamedTuple):

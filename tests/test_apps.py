@@ -516,9 +516,11 @@ def test_estimate_app_filter_beats_raw(tmp_path, capsys):
         "--synthetic", "--recording", "--steps", "1200",
         "--smooth", "--fit-noise", "--fit-noise-window", "400",
         "--fit-noise-steps", "60",
+        "--media-dir", str(tmp_path / "media"),   # NEVER the repo media/
         "--out-csv", str(out_csv),
         "--json-out", str(tmp_path / "rec.json"),
     ])
+    assert (tmp_path / "media" / "estimate_channels.png").exists()
     rows = rec["rmse_vs_truth"]
     for g in ("position", "attitude", "all"):
         assert rows["RTS smoothed"][g] < rows["raw sensor"][g], g
@@ -539,7 +541,7 @@ def test_estimate_app_ukf_and_refit_koopman(tmp_path, capsys):
 
     rec = estimate.main([
         "--synthetic", "--recording", "--steps", "900",
-        "--filter", "ukf",
+        "--filter", "ukf", "--no-media",
         "--refit-koopman", "--n-rbfs", "40", "--gamma", "1.0",
         "--ridge", "1e-3",
     ])
@@ -556,3 +558,19 @@ def test_estimate_app_validation_errors(tmp_path):
     with pytest.raises(SystemExit, match="ekf"):
         estimate.main(["--synthetic", "--steps", "300", "--filter", "ukf",
                        "--smooth"])
+
+
+def test_estimate_app_koopman_filter(tmp_path, capsys):
+    """Data-driven filtering: the exact linear KF on the lifted EDMDc
+    system (no physics anywhere) beats the raw sensors on position."""
+    from bluerov2_dynamics_tpu.apps import estimate
+
+    rec = estimate.main([
+        "--synthetic", "--recording", "--steps", "1500",
+        "--filter", "koopman", "--koopman-position-invariant",
+        "--n-rbfs", "100", "--gamma", "1.0", "--ridge", "1e-3",
+        "--no-media",
+    ])
+    rows = rec["rmse_vs_truth"]
+    assert rows["KOOPMAN"]["position"] < rows["raw sensor"]["position"]
+    assert "EDMDc model fitted" in capsys.readouterr().out

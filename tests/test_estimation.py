@@ -418,3 +418,37 @@ def test_segment_trajectory_banks_match_manual(fossen_case):
         estimation.segment_trajectory(U1[:-2], Y1, 50)
     with pytest.raises(ValueError, match="segment length"):
         estimation.segment_trajectory(U1, Y1, 1)
+
+
+def test_koopman_kf_in_scan_projection_matches_materialized(fossen_case):
+    """The memory-aware lifted KF (projects (n,n) inside the scan) is
+    bit-equivalent to running the full lifted kalman_filter and projecting
+    afterwards — the (T, d, d) history it avoids is 48 GB at the tank
+    recording scale."""
+    step, Q, R, m0, P0, U, Y, X_true, sigma = fossen_case
+    U_fit = jnp.vstack([jnp.asarray(U), jnp.asarray(U)[-1:]])
+    model = koopman.fit(jax.random.PRNGKey(0), X_true, U_fit,
+                        n_rbfs=40, gamma=1.0, ridge=1e-6)
+    got = estimation.koopman_kalman_filter(model, R, U, Y, q=1e-6)
+
+    n, d = model.state_dim, model.lift_dim
+    H = jnp.zeros((n, d), model.A.dtype).at[:, :n].set(
+        jnp.eye(n, dtype=model.A.dtype))
+    from bluerov2_dynamics_tpu.models.koopman import lift
+    res = estimation.kalman_filter(
+        model.A, model.B, H, jnp.eye(d, dtype=model.A.dtype) * 1e-6, R,
+        lift(model, jnp.asarray(Y)[0]),
+        jnp.eye(d, dtype=model.A.dtype) * 1e-2, U, Y)
+    np.testing.assert_allclose(np.asarray(got.means),
+                               np.asarray(res.means @ H.T), rtol=1e-10,
+                               atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(got.covs),
+        np.asarray(jnp.einsum("ij,tjk,lk->til", H, res.covs, H)),
+        rtol=1e-8, atol=1e-14)
+    np.testing.assert_allclose(float(got.loglik), float(res.loglik),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(got.nis), np.asarray(res.nis),
+                               rtol=1e-8)
+    with pytest.raises(ValueError, match="T-1"):
+        estimation.koopman_kalman_filter(model, R, U[:-2], Y)
