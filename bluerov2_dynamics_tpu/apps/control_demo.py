@@ -186,12 +186,22 @@ def main(argv=None):
     if args.media_dir:
         from bluerov2_dynamics_tpu.viz import plot_topdown_with_depth
 
-        trajs = {k.upper(): v["X"] for k, v in out.items()}
+        if args.task == "mpc":
+            # MPC's story is the PATH vs the saturated LQR's swing — plot
+            # both under a task-specific name so the 3-task §2c figure is
+            # never clobbered by a single-task run
+            trajs = {"MPC": out["mpc"]["X"], "LQR": out["mpc"]["X_lqr"]}
+            name = "control_demo_mpc_2D.png"
+            title = ("Receding-horizon MPC vs saturated LQR from "
+                     "psi=3.0 rad (top view)")
+        else:
+            trajs = {k.upper(): v["X"] for k, v in out.items()}
+            name = "control_demo_2D.png"
+            title = ("Closed-loop control: LQR / Koopman-LQR hover "
+                     "recovery + trajopt waypoint (top view)")
         plot_topdown_with_depth(
             trajs, dt=DT, seconds=len(next(iter(trajs.values()))) * DT,
-            save_path=f"{args.media_dir}/control_demo_2D.png",
-            title="Closed-loop control: LQR / Koopman-LQR hover recovery "
-                  "+ trajopt waypoint (top view)",
+            save_path=f"{args.media_dir}/{name}", title=title,
         )
     ok("done")
     return out
