@@ -79,6 +79,14 @@ def build_parser():
                         "--filter koopman")
     g.add_argument("--smooth", action="store_true",
                    help="add the RTS backward pass (ekf only)")
+    g.add_argument("--measure", choices=("all", "pose"), default="all",
+                   help="measured channels: 'all' = the full recorded "
+                        "state; 'pose' = position+attitude only — the "
+                        "real mocap pipeline's primary measurement (its "
+                        "velocity columns come from the twist topic or "
+                        "finite differences, rosbags/bag2csv.py:146) — "
+                        "the filter then ESTIMATES the velocities it "
+                        "never sees")
     g.add_argument("--q", type=float, default=1e-6,
                    help="process-noise variance (isotropic diagonal; "
                         "absorbs model mismatch, e.g. the recording's "
@@ -266,15 +274,25 @@ def main(argv=None):
     TAU = effective_wrench_history(cfg, lag, U, use_lag=not args.no_lag)
     TAU_trans = jnp.asarray(TAU)[delay:delay + N - 1]          # (N-1, 6)
     step = fossen.make_wrench_step(p, dt, "euler", "euler12")
-    h = lambda x: x
+    pose_only = args.measure == "pose"
+    m_dim = 6 if pose_only else 12
+    h = (lambda x: x[:6]) if pose_only else (lambda x: x)
 
     # ---- noise model ----------------------------------------------------
-    r_diag = np.repeat(np.asarray(args.r_scales, np.float64) ** 2, 3)
+    r_diag = np.repeat(np.asarray(args.r_scales, np.float64) ** 2,
+                       3)[:m_dim]
     Q = jnp.eye(12, dtype=jnp.float32) * args.q
     R = jnp.asarray(np.diag(r_diag), jnp.float32)
     P0 = jnp.eye(12, dtype=jnp.float32) * args.p0
-    Y = jnp.asarray(X)
-    m0 = Y[0]
+    Y = jnp.asarray(X)[:, :m_dim]
+    if pose_only:
+        # unmeasured velocities: zero prior mean, loose prior variance
+        P0 = P0.at[jnp.arange(6, 12), jnp.arange(6, 12)].set(0.25)
+        m0 = jnp.concatenate([Y[0], jnp.zeros(6, jnp.float32)])
+        info("Measuring position+attitude only — velocities are "
+             "estimated, never observed")
+    else:
+        m0 = Y[0]
 
     if args.fit_noise:
         W = min(args.fit_noise_window, N)
@@ -282,6 +300,11 @@ def main(argv=None):
         if L and W // L >= 2:
             m0_f, U_f, Y_f = estimation.segment_trajectory(
                 TAU_trans[:W - 1], Y[:W], L)
+            if pose_only:
+                # segment priors: measured pose, zero-velocity mean
+                m0_f = jnp.concatenate(
+                    [m0_f, jnp.zeros((m0_f.shape[0], 6), jnp.float32)],
+                    axis=1)
             info(f"ML noise identification on the first {W} rows as a "
                  f"{U_f.shape[0]}x{L}-segment bank "
                  f"({args.fit_noise_steps} Adam steps)...")
@@ -301,11 +324,13 @@ def main(argv=None):
             for g, lo, hi in GROUPS}
         r_grp = {g: float(np.sqrt(np.mean(
             np.exp(np.asarray(fit.log_r, np.float64))[lo:hi])))
-            for g, lo, hi in GROUPS}
+            for g, lo, hi in GROUPS if hi <= m_dim}
         ok(f"Noise fitted in {t_fit:.2f} s (incl. compile): negll/meas "
            f"{float(fit.losses[0]):.3f} -> {float(fit.losses[-1]):.3f}")
         info("  fitted per-group RMS sigma:  " + "  ".join(
-            f"{g}: q={q_grp[g]:.2e} r={r_grp[g]:.2e}" for g in q_grp))
+            f"{g}: q={q_grp[g]:.2e}" + (f" r={r_grp[g]:.2e}"
+                                        if g in r_grp else "")
+            for g in q_grp))
         record["fit_noise"] = {
             "seconds": t_fit,
             "negll_first": float(fit.losses[0]),
@@ -316,6 +341,10 @@ def main(argv=None):
 
     # ---- filter ----------------------------------------------------------
     if args.filter == "koopman":
+        if pose_only:
+            raise SystemExit("--filter koopman needs --measure all (the "
+                             "lifted KF measures through the full-state "
+                             "readout)")
         # data-driven filter: fit EDMDc on the (noisy) training split,
         # then run the EXACT linear KF on its lifted system.  The model's
         # own pairing convention (X[k] -> X[k+1] driven by U[k], the

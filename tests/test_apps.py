@@ -574,3 +574,26 @@ def test_estimate_app_koopman_filter(tmp_path, capsys):
     rows = rec["rmse_vs_truth"]
     assert rows["KOOPMAN"]["position"] < rows["raw sensor"]["position"]
     assert "EDMDc model fitted" in capsys.readouterr().out
+
+
+def test_estimate_app_pose_only_recovers_velocities(tmp_path):
+    """--measure pose: the filter never observes velocities (the real
+    mocap pipeline's primary measurement is pose; velocities are twist /
+    finite differences) — yet the smoothed velocity estimates beat the
+    recorded noisy velocity channels."""
+    from bluerov2_dynamics_tpu.apps import estimate
+
+    rec = estimate.main([
+        "--synthetic", "--recording", "--steps", "3000",
+        "--measure", "pose", "--smooth", "--fossen-fit",
+        "--fossen-fit-steps", "150",
+        "--fit-noise", "--fit-noise-window", "1000",
+        "--fit-noise-steps", "120", "--no-media",
+    ])
+    rows = rec["rmse_vs_truth"]
+    for g in ("position", "attitude", "lin. velocity", "ang. velocity"):
+        assert rows["RTS smoothed"][g] < rows["raw sensor"][g], g
+    assert 2.0 < rec["nis_mean"] < 18.0   # chi^2_6 expectation = 6
+    with pytest.raises(SystemExit, match="measure all"):
+        estimate.main(["--synthetic", "--steps", "300",
+                       "--filter", "koopman", "--measure", "pose"])
