@@ -1091,15 +1091,19 @@ def run_full(only: str | None = None):
         TAU_b = 2.0 * jax.random.normal(ks[0], (B, T - 1, 6), jnp.float32)
         Y_b = 0.02 * jax.random.normal(ks[1], (B, T, 12), jnp.float32)
 
+        # big operands enter as ARGUMENTS, never jit-closure constants
+        # (CLAUDE.md round-4: embedded constants ship inline in the
+        # remote-compile payload — HTTP 413 at 256 MB)
         @jax.jit
-        def bank(m0):
+        def bank(m0, TAU_b, Y_b):
             res = jax.vmap(
                 lambda m0b, Ub, Yb: estimation.ekf(step, h, Q, R, m0b, P0,
                                                    Ub, Yb)
             )(m0, TAU_b, Y_b)
             return Y_b[:, 0] + 1e-20 * res.means[:, -1]
 
-        sps, warm = chained_steps_per_sec(bank, Y_b[:, 0], B * T, 3)
+        sps, warm = chained_steps_per_sec(
+            lambda m0: bank(m0, TAU_b, Y_b), Y_b[:, 0], B * T, 3)
         rows.append(("ekf_bank_2048x250_filter_updates_per_sec", sps,
                      f"updates/s ({warm:.3f} s/call)", None))
 
@@ -1108,11 +1112,12 @@ def run_full(only: str | None = None):
         Y_1 = 0.02 * jax.random.normal(ks[1], (N1, 12), jnp.float32)
 
         @jax.jit
-        def single(m0):
+        def single(m0, TAU_1, Y_1):
             res = estimation.ekf(step, h, Q, R, m0[0], P0, TAU_1, Y_1)
             return Y_1[:2] + 1e-20 * res.means[-1]
 
-        _, warm1 = chained_steps_per_sec(single, Y_1[:2], N1, 3)
+        _, warm1 = chained_steps_per_sec(
+            lambda m0: single(m0, TAU_1, Y_1), Y_1[:2], N1, 3)
         rows.append(("ekf_single_45823_warm_s", warm1,
                      f"s/call ({N1 / warm1:.3e} updates/s; sequential "
                      "latency-bound — the bank shape is the TPU answer)",

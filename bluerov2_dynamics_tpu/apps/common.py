@@ -177,28 +177,32 @@ def fit_fossen_from_args(args, X_tr, U_tr, dt, kind: str = "thruster",
     return res
 
 
+def _generate_sim(args):
+    """Build the synthetic SimDataset selected by the CLI args."""
+    import jax
+
+    from bluerov2_dynamics_tpu.data.synthetic import (
+        generate_sim_dataset,
+        generate_tank_recording,
+    )
+
+    if getattr(args, "recording", False):
+        info(f"Generating pseudo tank recording: {args.steps} steps @ "
+             f"dt={args.dt} (coeff jitter +-{args.coeff_jitter:.0%})")
+        return generate_tank_recording(
+            jax.random.PRNGKey(args.seed), n_steps=args.steps, dt=args.dt,
+            jitter=args.coeff_jitter,
+        )
+    info(f"Generating synthetic dataset: {args.steps} steps @ dt={args.dt}")
+    return generate_sim_dataset(
+        jax.random.PRNGKey(args.seed), n_steps=args.steps, dt=args.dt
+    )
+
+
 def load_or_generate(args, loader: Callable = csv_loader.load_thruster_dataset):
     """Load the CSV named by --csv (or discovered), or generate synthetic."""
     if args.synthetic or args.csv is None:
-        import jax
-
-        from bluerov2_dynamics_tpu.data.synthetic import (
-            generate_sim_dataset,
-            generate_tank_recording,
-        )
-
-        if getattr(args, "recording", False):
-            info(f"Generating pseudo tank recording: {args.steps} steps @ "
-                 f"dt={args.dt} (coeff jitter +-{args.coeff_jitter:.0%})")
-            sim = generate_tank_recording(
-                jax.random.PRNGKey(args.seed), n_steps=args.steps, dt=args.dt,
-                jitter=args.coeff_jitter,
-            )
-        else:
-            info(f"Generating synthetic dataset: {args.steps} steps @ dt={args.dt}")
-            sim = generate_sim_dataset(
-                jax.random.PRNGKey(args.seed), n_steps=args.steps, dt=args.dt
-            )
+        sim = _generate_sim(args)
         return csv_loader.Dataset(
             X=np.asarray(sim.X, np.float64),
             U=np.asarray(sim.U, np.float64),
@@ -213,6 +217,31 @@ def load_or_generate(args, loader: Callable = csv_loader.load_thruster_dataset):
             csv_path, getattr(args, "csv_name", "koopman_dataset_50Hz.csv")
         )
     return loader(csv_path)
+
+
+def load_or_generate_with_truth(
+    args, loader: Callable = csv_loader.load_thruster_dataset
+):
+    """:func:`load_or_generate` plus the two facts only the estimation
+    workload needs: the generator's noise-free states (``None`` for CSV
+    data) and the dataset's input-delay convention — generated datasets
+    record each command next to the state it PRODUCED (transition
+    ``X[k] -> X[k+1]`` is driven by ``U[k+1]``, delay 1; see
+    ``models/sysid.py::fit_thruster``), real CSVs pair ``U[k]`` with the
+    state it is about to act on (delay 0).
+
+    Returns ``(Dataset, X_true_or_None, input_delay)``.
+    """
+    if args.synthetic or args.csv is None:
+        sim = _generate_sim(args)
+        ds = csv_loader.Dataset(
+            X=np.asarray(sim.X, np.float64),
+            U=np.asarray(sim.U, np.float64),
+            t=np.arange(args.steps) * args.dt,
+            dt=args.dt,
+        )
+        return ds, np.asarray(sim.X_true, np.float64), 1
+    return load_or_generate(args, loader), None, 0
 
 
 def fit_koopman_from_args(args, key, X_tr, U_tr, loader: Callable = None):

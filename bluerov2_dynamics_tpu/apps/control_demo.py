@@ -186,19 +186,23 @@ def main(argv=None):
     if args.media_dir:
         from bluerov2_dynamics_tpu.viz import plot_topdown_with_depth
 
+        # single-task runs save under a task-specific name so the blessed
+        # 3-task §2c figure is never clobbered
         if args.task == "mpc":
-            # MPC's story is the PATH vs the saturated LQR's swing — plot
-            # both under a task-specific name so the 3-task §2c figure is
-            # never clobbered by a single-task run
+            # MPC's story is the PATH vs the saturated LQR's swing
             trajs = {"MPC": out["mpc"]["X"], "LQR": out["mpc"]["X_lqr"]}
             name = "control_demo_mpc_2D.png"
             title = ("Receding-horizon MPC vs saturated LQR from "
                      "psi=3.0 rad (top view)")
-        else:
+        elif args.task == "all":
             trajs = {k.upper(): v["X"] for k, v in out.items()}
             name = "control_demo_2D.png"
             title = ("Closed-loop control: LQR / Koopman-LQR hover "
                      "recovery + trajopt waypoint (top view)")
+        else:
+            trajs = {args.task.upper(): out[args.task]["X"]}
+            name = f"control_demo_{args.task}_2D.png"
+            title = f"Closed-loop control: {args.task} task (top view)"
         plot_topdown_with_depth(
             trajs, dt=DT, seconds=len(next(iter(trajs.values()))) * DT,
             save_path=f"{args.media_dir}/{name}", title=title,

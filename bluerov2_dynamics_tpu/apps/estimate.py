@@ -131,38 +131,12 @@ def build_parser():
 
 def _load(args):
     """Returns (X noisy (N,12), U commands (N,8), X_true or None, dt,
-    input_delay)."""
-    if args.synthetic or args.csv is None:
-        import jax
-
-        from bluerov2_dynamics_tpu.data.synthetic import (
-            generate_sim_dataset,
-            generate_tank_recording,
-        )
-
-        if getattr(args, "recording", False):
-            info(f"Generating pseudo tank recording: {args.steps} steps @ "
-                 f"dt={args.dt} (coeff jitter ±{args.coeff_jitter:.0%})")
-            sim = generate_tank_recording(
-                jax.random.PRNGKey(args.seed), n_steps=args.steps,
-                dt=args.dt, jitter=args.coeff_jitter)
-        else:
-            info(f"Generating synthetic dataset: {args.steps} steps @ "
-                 f"dt={args.dt}")
-            sim = generate_sim_dataset(
-                jax.random.PRNGKey(args.seed), n_steps=args.steps,
-                dt=args.dt)
-        # generated datasets record each command next to the state it
-        # PRODUCED -> the transition X[k] -> X[k+1] is driven by U[k+1]
-        return (np.asarray(sim.X, np.float32), np.asarray(sim.U, np.float32),
-                np.asarray(sim.X_true, np.float32), args.dt, 1)
-    csv_path = Path(args.csv)
-    if csv_path.is_dir():
-        csv_path = csv_loader.find_latest_csv(csv_path, args.csv_name)
-    ds = csv_loader.load_thruster_dataset(csv_path)
-    # real 50 Hz recordings pair U[k] with the state it is about to act on
+    input_delay) — the shared loader plus truth/delay, cast to the app's
+    f32 working dtype."""
+    ds, X_true, delay = common.load_or_generate_with_truth(args)
     return (np.asarray(ds.X, np.float32), np.asarray(ds.U, np.float32),
-            None, ds.dt, 0)
+            None if X_true is None else np.asarray(X_true, np.float32),
+            ds.dt, delay)
 
 
 def _group_rmse(A, B):
@@ -251,6 +225,23 @@ def main(argv=None):
     from bluerov2_dynamics_tpu.models.thrusters import effective_wrench_history
 
     args = build_parser().parse_args(argv)
+    # argv-only validation FIRST — these must not burn a 45k-row filter
+    # run (tens of seconds of tunnel compile+execute) before failing
+    if args.smooth and args.filter != "ekf":
+        raise SystemExit("--smooth composes with --filter ekf")
+    if args.filter == "koopman":
+        if args.measure == "pose":
+            raise SystemExit("--filter koopman needs --measure all (the "
+                             "lifted KF measures through the full-state "
+                             "readout)")
+        if getattr(args, "fossen_fit", False):
+            raise SystemExit("--filter koopman ignores the calibrated "
+                             "physics plant (the lifted model is fitted "
+                             "from data); drop --fossen-fit")
+    if args.refit_koopman and not (args.synthetic or args.csv is None):
+        raise SystemExit("--refit-koopman needs ground truth; run with "
+                         "--synthetic [--recording]")
+
     X, U, X_true, dt, delay = _load(args)
     N = X.shape[0]
     info(f"Dataset: {N} rows @ dt={dt:.4f} (input delay {delay})")
@@ -331,20 +322,22 @@ def main(argv=None):
             f"{g}: q={q_grp[g]:.2e}" + (f" r={r_grp[g]:.2e}"
                                         if g in r_grp else "")
             for g in q_grp))
+        if args.filter == "koopman":
+            warn("--filter koopman uses only the fitted R; the fitted "
+                 "(state-space) Q does not transfer to the lifted system "
+                 "(process noise stays --koopman-q)")
         record["fit_noise"] = {
             "seconds": t_fit,
             "negll_first": float(fit.losses[0]),
             "negll_last": float(fit.losses[-1]),
-            "q_diag": np.asarray(fit.log_q, np.float64).tolist(),
-            "r_diag": np.asarray(fit.log_r, np.float64).tolist(),
+            "q_var_diag": np.exp(
+                np.asarray(fit.log_q, np.float64)).tolist(),
+            "r_var_diag": np.exp(
+                np.asarray(fit.log_r, np.float64)).tolist(),
         }
 
     # ---- filter ----------------------------------------------------------
     if args.filter == "koopman":
-        if pose_only:
-            raise SystemExit("--filter koopman needs --measure all (the "
-                             "lifted KF measures through the full-state "
-                             "readout)")
         # data-driven filter: fit EDMDc on the (noisy) training split,
         # then run the EXACT linear KF on its lifted system.  The model's
         # own pairing convention (X[k] -> X[k+1] driven by U[k], the
@@ -374,8 +367,6 @@ def main(argv=None):
 
     sm = None
     if args.smooth:
-        if args.filter != "ekf":
-            raise SystemExit("--smooth composes with --filter ekf")
         sm, cold_s, warm_s = time_fn_cold_warm(
             lambda: estimation.rts_smooth(step, Q, TAU_trans, res))
         ok(f"RTS smoother backward pass: warm {warm_s:.4f} s "
@@ -403,9 +394,6 @@ def main(argv=None):
 
     # ---- downstream value: Koopman refit on filtered states --------------
     if args.refit_koopman:
-        if X_true is None:
-            raise SystemExit("--refit-koopman needs ground truth; run with "
-                             "--synthetic [--recording]")
         from bluerov2_dynamics_tpu.models import koopman
 
         key = jax.random.PRNGKey(args.seed)

@@ -448,7 +448,7 @@ def sharded_ekf_bank(
     Equality vs the single-device filter is pinned by
     ``tests/test_parallel.py``; exercised by the driver dryrun.
     """
-    from bluerov2_dynamics_tpu.models.estimation import FilterResult, ekf
+    from bluerov2_dynamics_tpu.models.estimation import ekf
 
     U = jnp.asarray(U)
     Y = jnp.asarray(Y)
