@@ -13,6 +13,9 @@ from bluerov2_dynamics_tpu.ops.rotations import (  # noqa: F401
     ssa,
 )
 from bluerov2_dynamics_tpu.ops.quaternion import (  # noqa: F401
+    quat_conjugate,
+    quat_exp,
+    quat_log,
     quat_normalize,
     quat_to_rotation_matrix,
     quat_multiply,

@@ -90,6 +90,52 @@ def quat_multiply(q1, q2):
     )
 
 
+def quat_conjugate(q):
+    """Conjugate (= inverse for unit quaternions), scalar-first."""
+    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], q.dtype)
+
+
+def quat_exp(rotvec):
+    """Exponential map: rotation vector ``(…, 3)`` → unit quaternion
+    ``(…, 4)`` scalar-first (TPU-native extension, no reference
+    counterpart; the retraction of the manifold EKF in
+    ``models/estimation.py``).
+
+    Taylor-guarded at zero — ``cos(a/2) ≈ 1 − a²/8`` and
+    ``sin(a/2)/a ≈ 1/2 − a²/48`` — so it is exactly differentiable at
+    ``rotvec = 0``, where the error-state Jacobians are evaluated
+    (a naive ``norm`` there has a NaN gradient).
+    """
+    rotvec = jnp.asarray(rotvec)
+    a2 = jnp.sum(rotvec * rotvec, axis=-1, keepdims=True)
+    small = a2 < 1e-12
+    ang = jnp.sqrt(jnp.where(small, 1.0, a2))
+    s = jnp.where(small, 0.5 - a2 / 48.0, jnp.sin(0.5 * ang) / ang)
+    w = jnp.where(small[..., 0], 1.0 - a2[..., 0] / 8.0,
+                  jnp.cos(0.5 * ang[..., 0]))
+    return jnp.concatenate([w[..., None], rotvec * s], axis=-1)
+
+
+def quat_log(q):
+    """Logarithmic map: unit quaternion → rotation vector ``(…, 3)``
+    (inverse of :func:`quat_exp`; shortest arc — the sign of ``qw`` is
+    normalized first so the result is in the ±π ball).
+
+    First-order Taylor guard at the identity (``k ≈ 2/qw``), matching
+    :func:`quat_exp`'s differentiability at zero.
+    """
+    q = jnp.asarray(q)
+    q = q * jnp.sign(jnp.where(q[..., :1] == 0.0, 1.0, q[..., :1]))
+    qw, qv = q[..., 0], q[..., 1:]
+    n2 = jnp.sum(qv * qv, axis=-1, keepdims=True)
+    small = n2 < 1e-14
+    nv = jnp.sqrt(jnp.where(small, 1.0, n2))
+    ang = 2.0 * jnp.arctan2(nv[..., 0], qw)
+    k = jnp.where(small[..., 0], 2.0 / jnp.maximum(qw, 1e-6),
+                  ang / nv[..., 0])
+    return qv * k[..., None]
+
+
 def quat_derivative(q, omega_body):
     """q_dot = 0.5 * q (x) [0, p, q, r], fused elementwise.
 
