@@ -67,6 +67,14 @@ def build_parser():
         "calibration, and a raw-vs-filtered Koopman refit comparison."
     )
     g = ap.add_argument_group("estimation")
+    g.add_argument("--contract", choices=("thruster", "quat"),
+                   default="thruster",
+                   help="dataset contract: 'thruster' = euler12 states + "
+                        "u1..u8 commands (T2/T6 family; EKF/UKF/lifted-KF "
+                        "filters); 'quat' = quat13 states + wrench inputs "
+                        "(T4 family) — filtered by the MULTIPLICATIVE EKF "
+                        "(estimation.mekf_quat13: error-state on "
+                        "R^3 x S^3 x R^6, quaternions stay exactly unit)")
     g.add_argument("--filter", choices=("ekf", "ukf", "koopman"),
                    default="ekf",
                    help="forward filter (ekf: exact jacfwd Jacobians; "
@@ -212,6 +220,105 @@ def _save_figure(path, dt, X, X_filt, X_sm, X_true, nis, nis_expect,
     ok(f"Wrote estimation figure -> {path}")
 
 
+def _main_quat(args):
+    """The quat13/wrench contract (T4 family), filtered by the
+    multiplicative EKF.  Tangent-space accuracy table (position,
+    attitude rotation-vector, velocities via ``quat13_boxminus``);
+    ``--fossen-fit`` calibrates the quat13 wrench plant first
+    (``sysid.fit_wrench(state='quat13')``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bluerov2_dynamics_tpu.data.csv_loader import euler_to_quat_np
+    from bluerov2_dynamics_tpu.models import estimation, fossen
+    from bluerov2_dynamics_tpu.models.params import (
+        fossen_params,
+        lag_params,
+        thruster_config,
+    )
+    from bluerov2_dynamics_tpu.models.thrusters import effective_wrench_history
+
+    def to_quat13(X12):
+        q = euler_to_quat_np(X12[:, 3], X12[:, 4], X12[:, 5])
+        return np.concatenate([X12[:, 0:3], q, X12[:, 6:12]],
+                              axis=1).astype(np.float32)
+
+    if args.synthetic or args.csv is None:
+        ds, X_true12, delay = common.load_or_generate_with_truth(args)
+        X = to_quat13(ds.X)
+        X_true = to_quat13(X_true12)
+        # the EXACT applied wrench from the recorded commands (lag scan)
+        cfg, lag = thruster_config(), lag_params(ds.dt)
+        TAU = np.asarray(effective_wrench_history(
+            cfg, lag, np.asarray(ds.U, np.float32),
+            use_lag=not args.no_lag), np.float32)
+    else:
+        ds = common.load_or_generate(args, csv_loader.load_quat_dataset)
+        X, X_true, delay = np.asarray(ds.X, np.float32), None, 0
+        TAU = np.asarray(ds.U, np.float32)
+    N, dt = X.shape[0], float(ds.dt)
+    info(f"Dataset (quat13/wrench): {N} rows @ dt={dt:.4f} "
+         f"(input delay {delay})")
+    record = {"n_rows": N, "dt": dt, "filter": "mekf_quat13"}
+
+    p = fossen_params()
+    n_tr = int(args.train_split * N)
+    sysid_res = fit_fossen_from_args(
+        args, jnp.asarray(X[:n_tr]), jnp.asarray(TAU[:n_tr]), dt,
+        kind="wrench", state="quat13")
+    if sysid_res is not None:
+        p = sysid_res.params
+    record["plant"] = "fitted" if sysid_res is not None else "nominal"
+
+    step = fossen.make_wrench_step(p, dt, "euler", "quat13")
+    # tangent-space (12-dim) noise model: pos, attitude rotvec, vels
+    r_diag = np.repeat(np.asarray(args.r_scales, np.float64) ** 2, 3)
+    Q = jnp.eye(12, dtype=jnp.float32) * args.q
+    R = jnp.asarray(np.diag(r_diag), jnp.float32)
+    P0 = jnp.eye(12, dtype=jnp.float32) * args.p0
+    Y = jnp.asarray(X)
+    TAU_trans = jnp.asarray(TAU)[delay:delay + N - 1]
+
+    res, cold, warm = time_fn_cold_warm(
+        lambda: estimation.mekf_quat13(step, Q, R, Y[0], P0, TAU_trans, Y))
+    nis_mean = float(jnp.mean(res.nis))
+    ok(f"MEKF (quat13) over {N} steps: warm {warm:.4f} s (cold incl. "
+       f"compile {cold:.2f} s); loglik {float(res.loglik):.1f}, mean NIS "
+       f"{nis_mean:.2f} (chi^2 expectation 12)")
+    record.update({"loglik": float(res.loglik), "nis_mean": nis_mean,
+                   "filter_warm_s": warm, "filter_cold_s": cold})
+    norms = np.linalg.norm(np.asarray(res.means)[:, 3:7], axis=-1)
+    assert np.allclose(norms, 1.0, atol=1e-5), "quaternion norm drift"
+
+    if X_true is not None:
+        bm = jax.vmap(estimation.quat13_boxminus)
+        err_f = np.asarray(bm(res.means, jnp.asarray(X_true)))
+        err_r = np.asarray(bm(Y, jnp.asarray(X_true)))
+        rows = {"raw sensor": _group_rmse(err_r, 0.0 * err_r),
+                "MEKF": _group_rmse(err_f, 0.0 * err_f)}
+        _print_rmse_table(rows)
+        record["rmse_vs_truth"] = rows
+    else:
+        info("No ground truth available (real CSV) — NIS/loglik are the "
+             "consistency diagnostics.")
+
+    if args.out_csv:
+        cols = ["t"] + csv_loader.QUAT13_COLS + csv_loader.WRENCH_COLS
+        data = np.column_stack([np.arange(N) * dt, np.asarray(res.means),
+                                TAU])
+        path = Path(args.out_csv)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.savetxt(path, data, delimiter=",", comments="",
+                   header=",".join(cols))
+        ok(f"Wrote filtered quat13-contract CSV -> {path}")
+    if args.json_out:
+        path = Path(args.json_out)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(json_sanitize(record), indent=2))
+        ok(f"Wrote JSON run record -> {path}")
+    return record
+
+
 def main(argv=None):
     import jax
     import jax.numpy as jnp
@@ -241,6 +348,16 @@ def main(argv=None):
     if args.refit_koopman and not (args.synthetic or args.csv is None):
         raise SystemExit("--refit-koopman needs ground truth; run with "
                          "--synthetic [--recording]")
+    if args.contract == "quat":
+        for flag, name in ((args.smooth, "--smooth"),
+                           (args.fit_noise, "--fit-noise"),
+                           (args.refit_koopman, "--refit-koopman"),
+                           (args.measure == "pose", "--measure pose"),
+                           (args.filter != "ekf", "--filter")):
+            if flag:
+                raise SystemExit(f"{name} is not supported with "
+                                 f"--contract quat (the MEKF path)")
+        return _main_quat(args)
 
     X, U, X_true, dt, delay = _load(args)
     N = X.shape[0]

@@ -597,3 +597,32 @@ def test_estimate_app_pose_only_recovers_velocities(tmp_path):
     with pytest.raises(SystemExit, match="measure all"):
         estimate.main(["--synthetic", "--steps", "300",
                        "--filter", "koopman", "--measure", "pose"])
+
+
+def test_estimate_app_quat_contract(tmp_path, capsys):
+    """--contract quat: the multiplicative EKF on the T4 family
+    (quat13 states + exact lag-derived wrench inputs); tangent-space
+    accuracy beats the raw sensors and the filtered CSV round-trips
+    through load_quat_dataset."""
+    from bluerov2_dynamics_tpu.apps import estimate
+    from bluerov2_dynamics_tpu.data import csv_loader
+
+    out_csv = tmp_path / "filtered_q.csv"
+    rec = estimate.main([
+        "--synthetic", "--recording", "--steps", "2000",
+        "--contract", "quat", "--fossen-fit", "--fossen-fit-steps", "100",
+        "--no-media", "--out-csv", str(out_csv),
+    ])
+    rows = rec["rmse_vs_truth"]
+    for g in ("position", "attitude", "lin. velocity", "ang. velocity"):
+        assert rows["MEKF"][g] < rows["raw sensor"][g], g
+    assert 2.0 < rec["nis_mean"] < 40.0
+    assert "MEKF (quat13)" in capsys.readouterr().out
+    ds = csv_loader.load_quat_dataset(out_csv)
+    assert ds.X.shape == (2000, 13) and ds.U.shape == (2000, 6)
+    norms = np.linalg.norm(ds.X[:, 3:7], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    # unsupported combos fail fast, before any compute
+    with pytest.raises(SystemExit, match="not supported"):
+        estimate.main(["--synthetic", "--steps", "300",
+                       "--contract", "quat", "--smooth"])
