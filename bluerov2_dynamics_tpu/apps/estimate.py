@@ -290,12 +290,28 @@ def _main_quat(args):
     norms = np.linalg.norm(np.asarray(res.means)[:, 3:7], axis=-1)
     assert np.allclose(norms, 1.0, atol=1e-5), "quaternion norm drift"
 
+    sm = None
+    if args.smooth:
+        sm, cold_s, warm_s = time_fn_cold_warm(
+            lambda: estimation.manifold_rts_smooth(
+                step, Q, TAU_trans, res,
+                boxplus=estimation.quat13_boxplus,
+                boxminus=estimation.quat13_boxminus))
+        ok(f"Manifold RTS smoother backward pass: warm {warm_s:.4f} s "
+           f"(cold {cold_s:.2f} s)")
+        record.update({"smooth_warm_s": warm_s, "smooth_cold_s": cold_s})
+    X_best = np.asarray(sm.means) if sm is not None else np.asarray(res.means)
+
     if X_true is not None:
         bm = jax.vmap(estimation.quat13_boxminus)
-        err_f = np.asarray(bm(res.means, jnp.asarray(X_true)))
         err_r = np.asarray(bm(Y, jnp.asarray(X_true)))
-        rows = {"raw sensor": _group_rmse(err_r, 0.0 * err_r),
-                "MEKF": _group_rmse(err_f, 0.0 * err_f)}
+        zero = 0.0 * err_r
+        rows = {"raw sensor": _group_rmse(err_r, zero),
+                "MEKF": _group_rmse(
+                    np.asarray(bm(res.means, jnp.asarray(X_true))), zero)}
+        if sm is not None:
+            rows["RTS smoothed"] = _group_rmse(
+                np.asarray(bm(sm.means, jnp.asarray(X_true))), zero)
         _print_rmse_table(rows)
         record["rmse_vs_truth"] = rows
     else:
@@ -304,8 +320,7 @@ def _main_quat(args):
 
     if args.out_csv:
         cols = ["t"] + csv_loader.QUAT13_COLS + csv_loader.WRENCH_COLS
-        data = np.column_stack([np.arange(N) * dt, np.asarray(res.means),
-                                TAU])
+        data = np.column_stack([np.arange(N) * dt, X_best, TAU])
         path = Path(args.out_csv)
         path.parent.mkdir(parents=True, exist_ok=True)
         np.savetxt(path, data, delimiter=",", comments="",
@@ -349,8 +364,7 @@ def main(argv=None):
         raise SystemExit("--refit-koopman needs ground truth; run with "
                          "--synthetic [--recording]")
     if args.contract == "quat":
-        for flag, name in ((args.smooth, "--smooth"),
-                           (args.fit_noise, "--fit-noise"),
+        for flag, name in ((args.fit_noise, "--fit-noise"),
                            (args.refit_koopman, "--refit-koopman"),
                            (args.measure == "pose", "--measure pose"),
                            (args.filter != "ekf", "--filter")):

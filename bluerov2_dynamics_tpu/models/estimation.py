@@ -568,6 +568,57 @@ def manifold_ekf(
     )
 
 
+def manifold_rts_smooth(
+    step: Callable,
+    Q,
+    U,
+    filtered: FilterResult,
+    *,
+    boxplus: Callable,
+    boxminus: Callable,
+) -> SmootherResult:
+    """RTS backward pass in the tangent space of a manifold-filtered
+    trajectory (:func:`manifold_ekf` output).
+
+    The smoother gain acts on local coordinates: with
+    ``F = ∂/∂δ boxminus(step(boxplus(m_f, δ), u), m_pred)`` re-linearized
+    at the filtered means, the correction is
+    ``m_s = boxplus(m_f, G · boxminus(m_next_s, m_pred))`` — the Euclidean
+    box operators reduce it EXACTLY to :func:`rts_smooth` (pinned by
+    tests).  Covariances are tangent-space ``(d, d)`` like the filter's.
+    """
+    Q = jnp.asarray(Q)
+    U = jnp.asarray(U)
+    means_f, covs_f = filtered.means, filtered.covs
+    d = Q.shape[0]
+    zero_d = jnp.zeros(d, covs_f.dtype)
+
+    def body(carry, inp):
+        m_next_s, P_next_s = carry
+        m_f, P_f, u = inp
+        m_pred = step(m_f, u)
+        f = lambda delta: boxminus(step(boxplus(m_f, delta), u), m_pred)
+        F = jax.jacfwd(f)(zero_d)
+        P_pred = _sym(F @ P_f @ F.T + Q)
+        cf = cho_factor(P_pred, lower=True)
+        G = cho_solve(cf, F @ P_f).T               # P_f F^T P_pred^{-1}
+        m_s = boxplus(m_f, G @ boxminus(m_next_s, m_pred))
+        P_s = _sym(P_f + G @ (P_next_s - P_pred) @ G.T)
+        return (m_s, P_s), (m_s, P_s)
+
+    (_, _), (ms, Ps) = jax.lax.scan(
+        body,
+        (means_f[-1], covs_f[-1]),
+        (means_f[:-1], covs_f[:-1], U),
+        reverse=True,
+    )
+    return SmootherResult(
+        means=jnp.concatenate([ms, means_f[-1:]]),
+        covs=jnp.concatenate([Ps, covs_f[-1:]]),
+        filtered=filtered,
+    )
+
+
 def quat13_boxplus(x, delta):
     """Retraction for the quat13 convention: additive position (δ[0:3]) /
     velocities (δ[6:12]), right-multiplied ``quat_exp`` for the attitude

@@ -610,12 +610,14 @@ def test_estimate_app_quat_contract(tmp_path, capsys):
     out_csv = tmp_path / "filtered_q.csv"
     rec = estimate.main([
         "--synthetic", "--recording", "--steps", "2000",
-        "--contract", "quat", "--fossen-fit", "--fossen-fit-steps", "100",
+        "--contract", "quat", "--smooth",
+        "--fossen-fit", "--fossen-fit-steps", "100",
         "--no-media", "--out-csv", str(out_csv),
     ])
     rows = rec["rmse_vs_truth"]
     for g in ("position", "attitude", "lin. velocity", "ang. velocity"):
         assert rows["MEKF"][g] < rows["raw sensor"][g], g
+        assert rows["RTS smoothed"][g] < rows["MEKF"][g], g
     assert 2.0 < rec["nis_mean"] < 40.0
     assert "MEKF (quat13)" in capsys.readouterr().out
     ds = csv_loader.load_quat_dataset(out_csv)
@@ -625,4 +627,4 @@ def test_estimate_app_quat_contract(tmp_path, capsys):
     # unsupported combos fail fast, before any compute
     with pytest.raises(SystemExit, match="not supported"):
         estimate.main(["--synthetic", "--steps", "300",
-                       "--contract", "quat", "--smooth"])
+                       "--contract", "quat", "--fit-noise"])

@@ -608,3 +608,41 @@ def test_mekf_quat13_matches_euler12_ekf():
     np.testing.assert_allclose(np.asarray(res_q.means[20:, 7:13]),
                                np.asarray(res_e.means[20:, 6:12]),
                                atol=5e-3)
+
+
+def test_manifold_rts_euclidean_reduces_to_rts(fossen_case):
+    step, Q, R, m0, P0, U, Y, X_true, sigma = fossen_case
+    filt = estimation.ekf(step, lambda x: x, Q, R, m0, P0, U, Y)
+    plain = estimation.rts_smooth(step, Q, U, filt)
+    mani = estimation.manifold_rts_smooth(
+        step, Q, U, filt,
+        boxplus=lambda x, d: x + d, boxminus=lambda x2, x1: x2 - x1)
+    np.testing.assert_allclose(np.asarray(mani.means),
+                               np.asarray(plain.means), rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(mani.covs),
+                               np.asarray(plain.covs), rtol=1e-7,
+                               atol=1e-13)
+
+
+def test_manifold_rts_quat13_beats_filter(quat_fossen_case):
+    from bluerov2_dynamics_tpu.models.estimation import (
+        quat13_boxminus,
+        quat13_boxplus,
+    )
+
+    step, Q, R, P0, U, Y, X_true = quat_fossen_case
+    filt = estimation.mekf_quat13(step, Q, R, Y[0], P0, U, Y)
+    sm = estimation.manifold_rts_smooth(
+        step, Q, U, filt, boxplus=quat13_boxplus, boxminus=quat13_boxminus)
+    norms = np.linalg.norm(np.asarray(sm.means)[:, 3:7], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-12)
+    err_f = jax.vmap(quat13_boxminus)(filt.means, X_true)
+    err_s = jax.vmap(quat13_boxminus)(sm.means, X_true)
+    rf = float(jnp.sqrt(jnp.mean(err_f**2)))
+    rs = float(jnp.sqrt(jnp.mean(err_s**2)))
+    assert rs < rf, (rs, rf)
+    # smoothed tangent variances never exceed the filtered ones
+    d_f = np.diagonal(np.asarray(filt.covs), axis1=1, axis2=2)
+    d_s = np.diagonal(np.asarray(sm.covs), axis1=1, axis2=2)
+    assert np.all(d_s <= d_f + 1e-12)
