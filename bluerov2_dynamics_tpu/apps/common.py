@@ -136,8 +136,10 @@ def fit_fossen_from_args(args, X_tr, U_tr, dt, kind: str = "thruster",
     if delay is None:
         # generated datasets record each command next to the state it
         # PRODUCED (see sysid.fit_thruster docstring); real CSVs pair U[k]
-        # with the state it is about to act on
-        delay = 0 if args.csv else 1
+        # with the state it is about to act on.  The condition MUST match
+        # the data-selection branch (load_or_generate): --synthetic wins
+        # over --csv, so synthetic data keeps delay 1 even with both set.
+        delay = 1 if (args.synthetic or args.csv is None) else 0
     kwargs = dict(horizon=args.fossen_fit_horizon, steps=args.fossen_fit_steps,
                   lr=args.fossen_fit_lr, method=method, input_delay=delay,
                   fit_current=args.fossen_fit_current,

@@ -86,7 +86,8 @@ def build_parser():
                    help="lifted-space process-noise scale for "
                         "--filter koopman")
     g.add_argument("--smooth", action="store_true",
-                   help="add the RTS backward pass (ekf only)")
+                   help="add the RTS backward pass (ekf; for --contract "
+                        "quat the manifold/tangent-space variant)")
     g.add_argument("--measure", choices=("all", "pose"), default="all",
                    help="measured channels: 'all' = the full recorded "
                         "state; 'pose' = position+attitude only — the "
@@ -129,8 +130,9 @@ def build_parser():
                         "score both on the noise-free truth (synthetic "
                         "data only)")
     g.add_argument("--out-csv", type=str, default=None,
-                   help="write the filtered (or smoothed) states + commands "
-                        "as a thruster-contract CSV any tank app can load")
+                   help="write the filtered (or smoothed) states + inputs "
+                        "as a CSV in the run's contract (thruster or "
+                        "quat13/wrench) that the tank apps can load")
     g.add_argument("--json-out", type=str, default=None,
                    help="write a JSON run record")
     add_sysid_args(ap)
@@ -138,13 +140,13 @@ def build_parser():
 
 
 def _load(args):
-    """Returns (X noisy (N,12), U commands (N,8), X_true or None, dt,
-    input_delay) — the shared loader plus truth/delay, cast to the app's
-    f32 working dtype."""
+    """Returns (X noisy (N,12), U commands (N,8), X_true or None, t,
+    dt, input_delay) — the shared loader plus truth/delay, cast to the
+    app's f32 working dtype."""
     ds, X_true, delay = common.load_or_generate_with_truth(args)
     return (np.asarray(ds.X, np.float32), np.asarray(ds.U, np.float32),
             None if X_true is None else np.asarray(X_true, np.float32),
-            ds.dt, delay)
+            np.asarray(ds.t, np.float64), ds.dt, delay)
 
 
 def _group_rmse(A, B):
@@ -173,24 +175,26 @@ def _print_rmse_table(rows):
         f" {rows[n]['all']:>12.6f} " for n in names))
 
 
+DEFAULT_FIG_CHANS = ((2, "z", "m"), (5, "psi", "rad"),
+                     (6, "u", "m/s"), (11, "r", "rad/s"))
+
+
 def _save_figure(path, dt, X, X_filt, X_sm, X_true, nis, nis_expect,
-                 seconds=20.0, t0_frac=0.4):
-    """One panel per channel group (z, psi, u, r) on a zoomed window:
-    truth (if available), raw sensor, filtered, smoothed; NIS running mean
-    in the title.  Scoped Agg backend like viz/plots.py."""
+                 seconds=20.0, t0_frac=0.4, chans=DEFAULT_FIG_CHANS):
+    """One panel per channel group on a zoomed window: truth (if
+    available), raw sensor, filtered, smoothed; NIS mean in the title.
+    ``chans``: (column, name, unit) per panel.  Scoped Agg backend like
+    viz/plots.py."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-
-    chans = ((2, "z"), (5, "psi"), (6, "u"), (11, "r"))
-    units = {"z": "m", "psi": "rad", "u": "m/s", "r": "rad/s"}
     N = X.shape[0]
     w = min(int(seconds / max(dt, 1e-9)), N)
     s = int(t0_frac * (N - w))
     t = (np.arange(s, s + w) - s) * dt
     errors = X_true is not None
     fig, axes = plt.subplots(2, 2, figsize=(10, 6), dpi=150, sharex=True)
-    for ax, (c, name) in zip(axes.ravel(), chans):
+    for ax, (c, name, unit) in zip(axes.ravel(), chans):
         # with ground truth, plot the ERRORS — the filter's value is
         # invisible on overlapping traces at mocap noise scales
         ref = X_true[s:s + w, c] if errors else 0.0
@@ -202,9 +206,9 @@ def _save_figure(path, dt, X, X_filt, X_sm, X_true, nis, nis_expect,
                     label="smoothed")
         if errors:
             ax.axhline(0.0, color="k", lw=0.6)
-            ax.set_ylabel(f"{name} error [{units[name]}]")
+            ax.set_ylabel(f"{name} error [{unit}]")
         else:
-            ax.set_ylabel(f"{name} [{units[name]}]")
+            ax.set_ylabel(f"{name} [{unit}]")
         ax.grid(alpha=0.3)
     for ax in axes[1]:
         ax.set_xlabel("t [s]")
@@ -288,7 +292,9 @@ def _main_quat(args):
     record.update({"loglik": float(res.loglik), "nis_mean": nis_mean,
                    "filter_warm_s": warm, "filter_cold_s": cold})
     norms = np.linalg.norm(np.asarray(res.means)[:, 3:7], axis=-1)
-    assert np.allclose(norms, 1.0, atol=1e-5), "quaternion norm drift"
+    if not np.allclose(norms, 1.0, atol=1e-5):
+        warn(f"quaternion norm drift: max |1-||q||| = "
+             f"{float(np.max(np.abs(norms - 1.0))):.2e}")
 
     sm = None
     if args.smooth:
@@ -318,9 +324,30 @@ def _main_quat(args):
         info("No ground truth available (real CSV) — NIS/loglik are the "
              "consistency diagnostics.")
 
+    if not args.no_media:
+        if X_true is not None:
+            bm = jax.vmap(estimation.quat13_boxminus)
+            Xt = jnp.asarray(X_true)
+            try:
+                _save_figure(
+                    Path(args.media_dir) / "estimate_quat_channels.png",
+                    dt, np.asarray(bm(Y, Xt)),
+                    np.asarray(bm(res.means, Xt)),
+                    np.asarray(bm(sm.means, Xt)) if sm is not None else None,
+                    np.zeros((N, 12), np.float32),   # errors around zero
+                    np.asarray(res.nis), 12,
+                    chans=((2, "z", "m"), (5, "rotvec-z (yaw)", "rad"),
+                           (6, "u", "m/s"), (11, "r", "rad/s")))
+            except ImportError:
+                warn("matplotlib unavailable — skipping the estimation "
+                     "figure")
+        else:
+            info("estimation figure needs ground truth for the "
+                 "tangent-space error view — skipped on real CSV data")
+
     if args.out_csv:
         cols = ["t"] + csv_loader.QUAT13_COLS + csv_loader.WRENCH_COLS
-        data = np.column_stack([np.arange(N) * dt, X_best, TAU])
+        data = np.column_stack([np.asarray(ds.t, np.float64), X_best, TAU])
         path = Path(args.out_csv)
         path.parent.mkdir(parents=True, exist_ok=True)
         np.savetxt(path, data, delimiter=",", comments="",
@@ -364,16 +391,19 @@ def main(argv=None):
         raise SystemExit("--refit-koopman needs ground truth; run with "
                          "--synthetic [--recording]")
     if args.contract == "quat":
-        for flag, name in ((args.fit_noise, "--fit-noise"),
-                           (args.refit_koopman, "--refit-koopman"),
-                           (args.measure == "pose", "--measure pose"),
-                           (args.filter != "ekf", "--filter")):
+        for flag, name in (
+                (args.fit_noise, "--fit-noise"),
+                (args.refit_koopman, "--refit-koopman"),
+                (args.measure == "pose", "--measure pose"),
+                (args.filter != "ekf", f"--filter {args.filter}")):
             if flag:
-                raise SystemExit(f"{name} is not supported with "
-                                 f"--contract quat (the MEKF path)")
+                raise SystemExit(
+                    f"{name} is not supported with --contract quat "
+                    f"(this contract always runs the MEKF; leave "
+                    f"--filter at its default)")
         return _main_quat(args)
 
-    X, U, X_true, dt, delay = _load(args)
+    X, U, X_true, t_stamps, dt, delay = _load(args)
     N = X.shape[0]
     info(f"Dataset: {N} rows @ dt={dt:.4f} (input delay {delay})")
 
@@ -564,8 +594,7 @@ def main(argv=None):
 
     if args.out_csv:
         cols = (["t"] + csv_loader.EULER12_COLS + csv_loader.THRUSTER_COLS)
-        t = np.arange(N) * dt
-        data = np.column_stack([t, X_best, U])
+        data = np.column_stack([t_stamps, X_best, U])
         path = Path(args.out_csv)
         path.parent.mkdir(parents=True, exist_ok=True)
         np.savetxt(path, data, delimiter=",", comments="",

@@ -80,21 +80,43 @@ def _sym(P):
     return (P + jnp.swapaxes(P, -1, -2)) * 0.5
 
 
-def _update(m, P, y, h: Callable, R, residual: Optional[Callable]):
-    """Joseph-form measurement update; returns (m+, P+, nis, loglik)."""
-    H = jax.jacfwd(h)(m)
-    v = y - h(m) if residual is None else residual(y, h(m))
+def _tangent_update(v, H, P, R):
+    """Joseph-form Kalman measurement update in (tangent) coordinates:
+    innovation ``v``, linearized measurement ``H`` → correction ``delta``
+    plus updated covariance / NIS / loglik.  The single shared core of
+    :func:`ekf` (``m += delta``) and :func:`manifold_ekf`
+    (``x = boxplus(x, delta)``)."""
     S = H @ P @ H.T + R
     cf = cho_factor(_sym(S), lower=True)
     K = cho_solve(cf, H @ P).T          # P H^T S^{-1}
-    m_new = m + K @ v
-    ImKH = jnp.eye(m.shape[0], dtype=P.dtype) - K @ H
+    delta = K @ v
+    ImKH = jnp.eye(P.shape[0], dtype=P.dtype) - K @ H
     P_new = _sym(ImKH @ P @ ImKH.T + K @ R @ K.T)
     Sinv_v = cho_solve(cf, v)
     nis = v @ Sinv_v
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(cf[0])))
-    ll = -0.5 * (nis + logdet + y.shape[0] * _LOG2PI)
-    return m_new, P_new, nis, ll
+    ll = -0.5 * (nis + logdet + v.shape[0] * _LOG2PI)
+    return delta, P_new, nis, ll
+
+
+def _rts_backstep(F, P_f, Q, P_next_s):
+    """Shared RTS gain + covariance recursion: returns ``(G, P_pred,
+    P_s)``; the caller applies the mean correction in its own geometry
+    (Euclidean in :func:`rts_smooth`, boxplus in
+    :func:`manifold_rts_smooth`)."""
+    P_pred = _sym(F @ P_f @ F.T + Q)
+    cf = cho_factor(P_pred, lower=True)
+    G = cho_solve(cf, F @ P_f).T               # P_f F^T P_pred^{-1}
+    P_s = _sym(P_f + G @ (P_next_s - P_pred) @ G.T)
+    return G, P_pred, P_s
+
+
+def _update(m, P, y, h: Callable, R, residual: Optional[Callable]):
+    """Joseph-form measurement update; returns (m+, P+, nis, loglik)."""
+    H = jax.jacfwd(h)(m)
+    v = y - h(m) if residual is None else residual(y, h(m))
+    delta, P_new, nis, ll = _tangent_update(v, H, P, R)
+    return m + delta, P_new, nis, ll
 
 
 def ekf(
@@ -260,11 +282,8 @@ def rts_smooth(step: Callable, Q, U, filtered: FilterResult) -> SmootherResult:
         m_f, P_f, u = inp
         F = jax.jacfwd(lambda xx: step(xx, u))(m_f)
         m_pred = step(m_f, u)
-        P_pred = _sym(F @ P_f @ F.T + Q)
-        cf = cho_factor(P_pred, lower=True)
-        G = cho_solve(cf, F @ P_f).T               # P_f F^T P_pred^{-1}
+        G, P_pred, P_s = _rts_backstep(F, P_f, Q, P_next_s)
         m_s = m_f + G @ (m_next_s - m_pred)
-        P_s = _sym(P_f + G @ (P_next_s - P_pred) @ G.T)
         return (m_s, P_s), (m_s, P_s)
 
     (_, _), (ms, Ps) = jax.lax.scan(
@@ -535,17 +554,8 @@ def manifold_ekf(
         g = lambda delta: res_fn(y, h(boxplus(x, delta)))
         v = g(zero_d)
         Hm = -jax.jacfwd(g)(zero_d)                 # v(δ) ≈ v(0) − Hm δ
-        S = Hm @ P @ Hm.T + R
-        cf = cho_factor(_sym(S), lower=True)
-        K = cho_solve(cf, Hm @ P).T
-        x_new = boxplus(x, K @ v)
-        ImKH = jnp.eye(d, dtype=P.dtype) - K @ Hm
-        P_new = _sym(ImKH @ P @ ImKH.T + K @ R @ K.T)
-        Sinv_v = cho_solve(cf, v)
-        nis = v @ Sinv_v
-        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(cf[0])))
-        ll = -0.5 * (nis + logdet + v.shape[0] * _LOG2PI)
-        return x_new, P_new, nis, ll
+        delta, P_new, nis, ll = _tangent_update(v, Hm, P, R)
+        return boxplus(x, delta), P_new, nis, ll
 
     x, P, nis0, ll0 = update(x0, P0, Y[0])
 
@@ -599,11 +609,8 @@ def manifold_rts_smooth(
         m_pred = step(m_f, u)
         f = lambda delta: boxminus(step(boxplus(m_f, delta), u), m_pred)
         F = jax.jacfwd(f)(zero_d)
-        P_pred = _sym(F @ P_f @ F.T + Q)
-        cf = cho_factor(P_pred, lower=True)
-        G = cho_solve(cf, F @ P_f).T               # P_f F^T P_pred^{-1}
+        G, P_pred, P_s = _rts_backstep(F, P_f, Q, P_next_s)
         m_s = boxplus(m_f, G @ boxminus(m_next_s, m_pred))
-        P_s = _sym(P_f + G @ (P_next_s - P_pred) @ G.T)
         return (m_s, P_s), (m_s, P_s)
 
     (_, _), (ms, Ps) = jax.lax.scan(

@@ -481,9 +481,18 @@ def test_quat_exp_log_roundtrip(rng):
                                atol=1e-12)
     J2 = jax.jacfwd(quat_log)(jnp.asarray([1.0, 0.0, 0.0, 0.0]))
     assert np.all(np.isfinite(np.asarray(J2)))
-    # group consistency: log(q1^-1 (x) q2) is the relative rotation
-    rel = quat_log(quat_multiply(quat_conjugate(q[0]), q[0]))
-    np.testing.assert_allclose(np.asarray(rel), 0.0, atol=1e-12)
+    # group consistency: exp(log(q1^-1 (x) q2)) reproduces the relative
+    # rotation between two DISTINCT samples (catches sign/convention bugs
+    # a self-comparison cannot)
+    rel = quat_multiply(quat_conjugate(q[0]), q[1])
+    rel = rel * jnp.sign(rel[0])             # shortest-arc representative
+    np.testing.assert_allclose(np.asarray(quat_exp(quat_log(rel))),
+                               np.asarray(rel), atol=1e-12)
+    # and applying it takes q[0] to q[1]
+    np.testing.assert_allclose(
+        np.asarray(quat_multiply(q[0], rel)) * float(jnp.sign(
+            quat_multiply(q[0], rel)[0] * q[1][0])),
+        np.asarray(q[1]), atol=1e-12)
 
 
 def test_manifold_ekf_euclidean_reduces_to_ekf(fossen_case):
