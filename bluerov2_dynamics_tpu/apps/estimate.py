@@ -586,7 +586,10 @@ def main(argv=None):
     if not args.no_media:
         try:
             _save_figure(
-                Path(args.media_dir) / "estimate_channels.png", dt, X,
+                Path(args.media_dir) / ("estimate_channels_pose.png"
+                                        if pose_only
+                                        else "estimate_channels.png"),
+                dt, X,
                 X_filt, np.asarray(sm.means) if sm is not None else None,
                 X_true, np.asarray(res.nis), Y.shape[1])
         except ImportError:
