@@ -1123,6 +1123,28 @@ def run_full(only: str | None = None):
                      "latency-bound — the bank shape is the TPU answer)",
                      None))
 
+        # bootstrap particle filter: the ensemble is a leading batch
+        # axis through the full nonlinear step (sequential over time,
+        # massively parallel over particles) — throughput in
+        # particle-steps/s.  R at the workload's sensor scale so the
+        # weights stay non-degenerate.
+        NP, TP = 8192, 500
+        R_pf = jnp.eye(12, dtype=jnp.float32) * 4e-4
+        TAU_p = 2.0 * jax.random.normal(ks[2], (TP - 1, 6), jnp.float32)
+        Y_p = 0.02 * jax.random.normal(ks[1], (TP, 12), jnp.float32)
+
+        @jax.jit
+        def pf(m0, TAU_p, Y_p):
+            res = estimation.particle_filter(
+                step, h, Q, R_pf, m0[0], P0, TAU_p, Y_p,
+                n_particles=NP, key=jax.random.PRNGKey(0))
+            return Y_p[:2] + 1e-20 * res.means[-1]
+
+        sps_p, warm_p = chained_steps_per_sec(
+            lambda m0: pf(m0, TAU_p, Y_p), Y_p[:2], NP * TP, 3)
+        rows.append((f"pf_{NP}x{TP}_particle_steps_per_sec", sps_p,
+                     f"particle-steps/s ({warm_p:.3f} s/call)", None))
+
     # window_blocks is a ~12-minute 30-compile tuning sweep: kept out of
     # the default --full pass (its result is a committed DEFAULT, not a
     # per-round measurement); rerun explicitly when retuning.

@@ -35,6 +35,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                          "the nominal-parameter sim dataset")
     ap.add_argument("--coeff-jitter", type=float, default=0.10,
                     help="generator coefficient perturbation for --recording")
+    ap.add_argument("--noise-scale", type=float, default=1.0,
+                    help="multiply the synthetic generator's per-channel "
+                         "sensor-noise sigmas (1.0 = mocap-scale defaults; "
+                         ">1 emulates a cheaper DVL/AHRS-class sensor — "
+                         "the regime where heavier filtering pays); the "
+                         "noise DRAW is unchanged, so truth/commands stay "
+                         "bit-identical to the blessed datasets")
     ap.add_argument("--steps", type=int, default=20_000,
                     help="synthetic dataset length")
     ap.add_argument("--dt", type=float, default=0.02,
@@ -194,10 +201,12 @@ def _generate_sim(args):
         return generate_tank_recording(
             jax.random.PRNGKey(args.seed), n_steps=args.steps, dt=args.dt,
             jitter=args.coeff_jitter,
+            noise_scale=getattr(args, "noise_scale", 1.0),
         )
     info(f"Generating synthetic dataset: {args.steps} steps @ dt={args.dt}")
     return generate_sim_dataset(
-        jax.random.PRNGKey(args.seed), n_steps=args.steps, dt=args.dt
+        jax.random.PRNGKey(args.seed), n_steps=args.steps, dt=args.dt,
+        noise_scale=getattr(args, "noise_scale", 1.0),
     )
 
 

@@ -14,11 +14,15 @@ thruster-lag plant:
                     control sequence through the rollout scan;
 * ``mpc``         — receding-horizon MPC (nested jitted scans) from a
                     near-reversed heading, vs the LQR's wide swing
-                    (opt-in; not part of ``all``).
+                    (opt-in; not part of ``all``);
+* ``mppi``        — sampling-based MPPI: batched sampled rollouts price
+                    a DISCONTINUOUS keep-out-disk indicator cost that a
+                    gradient planner cannot see, vs the obstacle-blind
+                    LQR cutting straight through (opt-in).
 
 Usage::
 
-    python -m bluerov2_dynamics_tpu.apps.control_demo [hover|koopman|waypoint|mpc|all]
+    python -m bluerov2_dynamics_tpu.apps.control_demo [hover|koopman|waypoint|mpc|mppi|all]
 """
 
 from __future__ import annotations
@@ -143,6 +147,51 @@ def run_mpc(sim_steps=300):
             "lqr_max_excursion": float(jnp.max(pl))}
 
 
+MPPI_OBSTACLE = (0.75, 0.0, 0.3)   # (cx, cy, radius) keep-out cylinder
+
+
+def run_mppi(sim_steps=400, n_samples=512):
+    """Sampling-based MPPI through a hard keep-out cylinder vs the
+    obstacle-blind LQR.  The obstacle cost is a DISCONTINUOUS indicator
+    (zero gradient a.e. — the Adam-based MPC above could never see it);
+    MPPI's batched sampled rollouts price it directly."""
+    p, cfg, plant = _plant()
+    x0 = jnp.zeros(12, jnp.float32).at[0].set(1.5)
+    cx, cy, radius = MPPI_OBSTACLE
+    center = jnp.asarray([cx, cy], jnp.float32)
+
+    def obstacle(x, u):
+        d = jnp.linalg.norm(x[..., :2] - center, axis=-1)
+        return 200.0 * (d < radius)
+
+    info(f"mppi: 4x{n_samples} sampled 60-step rollouts per replan "
+         f"(one nested-scan XLA program), hard indicator keep-out disk "
+         f"r={radius} m sitting on the straight line to the target")
+    pol = control.fossen_lqr(p, cfg, DT)
+    Xl, _ = control.simulate_closed_loop(
+        plant, pol, (x0, jnp.zeros((8, 3), jnp.float32)), sim_steps,
+        get_state=lambda c: c[0])
+    (X, U), t = time_fn(lambda: control.simulate_mppi(
+        plant, x0, jnp.zeros(12, jnp.float32), sim_steps=sim_steps,
+        horizon=60, n_samples=n_samples, sigma=0.15, temperature=0.01,
+        init_rounds=20, replan_rounds=4, effort_weight=1e-2,
+        extra_cost=obstacle,
+        carry_init=lambda x: (x, jnp.zeros((8, 3), jnp.float32)),
+        get_state=lambda c: c[0], key=jax.random.PRNGKey(1)), warmup=0)
+    dm = jnp.linalg.norm(X[:, :2] - center, axis=1)
+    dl = jnp.linalg.norm(Xl[:, :2] - center, axis=1)
+    ef = float(jnp.linalg.norm(X[-1, :3]))
+    ok(f"MPPI {t:.1f} s (incl. compile): min obstacle distance "
+       f"{float(jnp.min(dm)):.3f} m (radius {radius}); final pos err "
+       f"{ef:.3f} m.  Obstacle-blind LQR cuts through at "
+       f"{float(jnp.min(dl)):.3f} m")
+    return {"X": np.asarray(X), "U": np.asarray(U),
+            "X_lqr": np.asarray(Xl),
+            "min_dist": float(jnp.min(dm)),
+            "lqr_min_dist": float(jnp.min(dl)),
+            "final_err": ef}
+
+
 def run_waypoint(horizon=250, opt_steps=250):
     """Direct trajectory optimization through the lag plant."""
     _, _, plant = _plant()
@@ -165,7 +214,8 @@ def run_waypoint(horizon=250, opt_steps=250):
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("task", nargs="?", default="all",
-                    choices=["hover", "koopman", "waypoint", "mpc", "all"])
+                    choices=["hover", "koopman", "waypoint", "mpc", "mppi",
+                             "all"])
     ap.add_argument("--steps", type=int, default=600,
                     help="closed-loop steps for the hover tasks")
     ap.add_argument("--media-dir", type=str, default=None,
@@ -182,18 +232,28 @@ def main(argv=None):
     if args.task == "mpc":
         # not in "all": ~40 s of nested-scan compile+run — opt-in task
         out["mpc"] = run_mpc()
+    if args.task == "mppi":
+        # opt-in like mpc (sim_steps x n_samples x horizon rollouts)
+        out["mppi"] = run_mppi()
 
     if args.media_dir:
         from bluerov2_dynamics_tpu.viz import plot_topdown_with_depth
 
         # single-task runs save under a task-specific name so the blessed
         # 3-task §2c figure is never clobbered
+        obstacles = None
         if args.task == "mpc":
             # MPC's story is the PATH vs the saturated LQR's swing
             trajs = {"MPC": out["mpc"]["X"], "LQR": out["mpc"]["X_lqr"]}
             name = "control_demo_mpc_2D.png"
             title = ("Receding-horizon MPC vs saturated LQR from "
                      "psi=3.0 rad (top view)")
+        elif args.task == "mppi":
+            trajs = {"MPPI": out["mppi"]["X"], "LQR": out["mppi"]["X_lqr"]}
+            name = "control_demo_mppi_2D.png"
+            title = ("Sampling-based MPPI vs obstacle-blind LQR "
+                     "(hard keep-out disk, top view)")
+            obstacles = [MPPI_OBSTACLE]
         elif args.task == "all":
             trajs = {k.upper(): v["X"] for k, v in out.items()}
             name = "control_demo_2D.png"
@@ -206,6 +266,7 @@ def main(argv=None):
         plot_topdown_with_depth(
             trajs, dt=DT, seconds=len(next(iter(trajs.values()))) * DT,
             save_path=f"{args.media_dir}/{name}", title=title,
+            obstacles=obstacles,
         )
     ok("done")
     return out

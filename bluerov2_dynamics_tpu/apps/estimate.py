@@ -75,13 +75,18 @@ def build_parser():
                         "(T4 family) — filtered by the MULTIPLICATIVE EKF "
                         "(estimation.mekf_quat13: error-state on "
                         "R^3 x S^3 x R^6, quaternions stay exactly unit)")
-    g.add_argument("--filter", choices=("ekf", "ukf", "koopman"),
+    g.add_argument("--filter", choices=("ekf", "ukf", "pf", "koopman"),
                    default="ekf",
                    help="forward filter (ekf: exact jacfwd Jacobians; "
-                        "ukf: sigma points, no Jacobians; koopman: the "
+                        "ukf: sigma points, no Jacobians; pf: bootstrap "
+                        "particle filter — a particle ensemble batched "
+                        "through the full nonlinear step, no Gaussian "
+                        "posterior assumption; koopman: the "
                         "exact linear KF on the lifted system of an EDMDc "
                         "model fitted to the training split — data-driven "
                         "filtering, no physics anywhere)")
+    g.add_argument("--pf-particles", type=int, default=1024,
+                   help="ensemble size for --filter pf")
     g.add_argument("--koopman-q", type=float, default=1e-6,
                    help="lifted-space process-noise scale for "
                         "--filter koopman")
@@ -179,12 +184,13 @@ DEFAULT_FIG_CHANS = ((2, "z", "m"), (5, "psi", "rad"),
                      (6, "u", "m/s"), (11, "r", "rad/s"))
 
 
-def _save_figure(path, dt, X, X_filt, X_sm, X_true, nis, nis_expect,
+def _save_figure(path, dt, X, X_filt, X_sm, X_true, diag_text,
                  seconds=20.0, t0_frac=0.4, chans=DEFAULT_FIG_CHANS):
     """One panel per channel group on a zoomed window: truth (if
-    available), raw sensor, filtered, smoothed; NIS mean in the title.
-    ``chans``: (column, name, unit) per panel.  Scoped Agg backend like
-    viz/plots.py."""
+    available), raw sensor, filtered, smoothed; the filter's consistency
+    diagnostic (``diag_text``: NIS for the Kalman family, ESS for the
+    PF) in the title.  ``chans``: (column, name, unit) per panel.
+    Scoped Agg backend like viz/plots.py."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -214,9 +220,8 @@ def _save_figure(path, dt, X, X_filt, X_sm, X_true, nis, nis_expect,
         ax.set_xlabel("t [s]")
     axes[0, 0].legend(loc="best", fontsize=8)
     kind = "error vs truth" if errors else "estimates"
-    fig.suptitle(f"State estimation on the recording ({kind}) — mean NIS "
-                 f"{float(np.mean(nis)):.2f} (chi^2 expectation "
-                 f"{nis_expect})")
+    fig.suptitle(f"State estimation on the recording ({kind}) — "
+                 f"{diag_text}")
     fig.tight_layout()
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     fig.savefig(path)
@@ -335,7 +340,8 @@ def _main_quat(args):
                     np.asarray(bm(res.means, Xt)),
                     np.asarray(bm(sm.means, Xt)) if sm is not None else None,
                     np.zeros((N, 12), np.float32),   # errors around zero
-                    np.asarray(res.nis), 12,
+                    f"mean NIS {float(jnp.mean(res.nis)):.2f} "
+                    f"(chi^2 expectation 12)",
                     chans=((2, "z", "m"), (5, "rotvec-z (yaw)", "rad"),
                            (6, "u", "m/s"), (11, "r", "rad/s")))
             except ImportError:
@@ -431,8 +437,15 @@ def main(argv=None):
     h = (lambda x: x[:6]) if pose_only else (lambda x: x)
 
     # ---- noise model ----------------------------------------------------
-    r_diag = np.repeat(np.asarray(args.r_scales, np.float64) ** 2,
-                       3)[:m_dim]
+    r_scales = np.asarray(args.r_scales, np.float64)
+    if (args.noise_scale != 1.0 and (args.synthetic or args.csv is None)
+            and tuple(args.r_scales) == DEFAULT_R_SCALES):
+        # the defaults mirror the generator's sigmas — keep them matched
+        # when --noise-scale changes the generated sensor noise
+        r_scales = r_scales * args.noise_scale
+        info(f"--noise-scale {args.noise_scale:g}: default R sigmas "
+             f"scaled to match the generator")
+    r_diag = np.repeat(r_scales ** 2, 3)[:m_dim]
     Q = jnp.eye(12, dtype=jnp.float32) * args.q
     R = jnp.asarray(np.diag(r_diag), jnp.float32)
     P0 = jnp.eye(12, dtype=jnp.float32) * args.p0
@@ -517,14 +530,33 @@ def main(argv=None):
                                           TAU_trans, Y),
             "ukf": lambda: estimation.ukf(step, h, Q, R, m0, P0,
                                           TAU_trans, Y),
+            "pf": lambda: estimation.particle_filter(
+                step, h, Q, R, m0, P0, TAU_trans, Y,
+                n_particles=args.pf_particles,
+                key=jax.random.PRNGKey(args.seed)),
         }[args.filter]
     res, cold, warm = time_fn_cold_warm(run_filter)
-    nis_mean = float(jnp.mean(res.nis))
-    ok(f"{args.filter.upper()} over {N} steps: warm {warm:.4f} s "
-       f"(cold incl. compile {cold:.2f} s); loglik {float(res.loglik):.1f}, "
-       f"mean NIS {nis_mean:.2f} (chi^2 expectation {Y.shape[1]})")
-    record.update({"loglik": float(res.loglik), "nis_mean": nis_mean,
-                   "filter_warm_s": warm, "filter_cold_s": cold})
+    if args.filter == "pf":
+        # the PF's consistency diagnostic is the effective sample size,
+        # not NIS (no Gaussian innovation anywhere)
+        ess_mean = float(jnp.mean(res.ess))
+        diag_text = (f"mean ESS {ess_mean:.0f}/{args.pf_particles} "
+                     f"particles")
+        ok(f"PF ({args.pf_particles} particles) over {N} steps: warm "
+           f"{warm:.4f} s (cold incl. compile {cold:.2f} s); loglik "
+           f"{float(res.loglik):.1f}, {diag_text}")
+        record.update({"loglik": float(res.loglik), "ess_mean": ess_mean,
+                       "n_particles": args.pf_particles,
+                       "filter_warm_s": warm, "filter_cold_s": cold})
+    else:
+        nis_mean = float(jnp.mean(res.nis))
+        diag_text = (f"mean NIS {nis_mean:.2f} (chi^2 expectation "
+                     f"{Y.shape[1]})")
+        ok(f"{args.filter.upper()} over {N} steps: warm {warm:.4f} s "
+           f"(cold incl. compile {cold:.2f} s); loglik "
+           f"{float(res.loglik):.1f}, {diag_text}")
+        record.update({"loglik": float(res.loglik), "nis_mean": nis_mean,
+                       "filter_warm_s": warm, "filter_cold_s": cold})
 
     sm = None
     if args.smooth:
@@ -585,13 +617,17 @@ def main(argv=None):
     # ---- artifacts --------------------------------------------------------
     if not args.no_media:
         try:
+            # non-default filters get their own filename so a ukf/pf/
+            # koopman run never clobbers the blessed EKF figures
+            fig_name = ("estimate_channels"
+                        + ("_pose" if pose_only else "")
+                        + (f"_{args.filter}" if args.filter != "ekf" else "")
+                        + ".png")
             _save_figure(
-                Path(args.media_dir) / ("estimate_channels_pose.png"
-                                        if pose_only
-                                        else "estimate_channels.png"),
+                Path(args.media_dir) / fig_name,
                 dt, X,
                 X_filt, np.asarray(sm.means) if sm is not None else None,
-                X_true, np.asarray(res.nis), Y.shape[1])
+                X_true, diag_text)
         except ImportError:
             warn("matplotlib unavailable — skipping the estimation figure")
 

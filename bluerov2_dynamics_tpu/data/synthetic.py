@@ -78,11 +78,17 @@ def generate_sim_dataset(
     ang_noise: float = 1e-3,
     vel_noise: float = 5e-4,
     angvel_noise: float = 1e-3,
+    noise_scale: float = 1.0,
     x0=None,
     dtype=jnp.float32,
 ) -> SimDataset:
     """Generate the simulation-workload dataset (states AFTER each step, as
-    the reference records them)."""
+    the reference records them).
+
+    ``noise_scale`` multiplies every per-channel sensor sigma (1.0 =
+    the reference's mocap-scale defaults; >1 emulates a cheaper
+    DVL/AHRS-class sensor).  It scales the SAME noise draw, so
+    ``X_true``/``U`` stay bit-identical to the blessed datasets."""
     p = p if p is not None else fossen_params(dtype=dtype)
     cfg = cfg if cfg is not None else thruster_config(dtype=dtype)
     lag = lag if lag is not None else lag_params(dt, dtype=dtype)
@@ -103,8 +109,9 @@ def generate_sim_dataset(
         return X_true
 
     X_true = run(x0, U)
-    X = _add_sensor_noise(k_n, X_true, pos_noise, ang_noise, vel_noise,
-                          angvel_noise, dtype)
+    X = _add_sensor_noise(k_n, X_true, noise_scale * pos_noise,
+                          noise_scale * ang_noise, noise_scale * vel_noise,
+                          noise_scale * angvel_noise, dtype)
     return SimDataset(X=X, X_true=X_true, U=U, dt=dt)
 
 
@@ -163,6 +170,7 @@ def generate_tank_recording(
     ang_noise: float = 2e-3,
     vel_noise: float = 1e-3,
     angvel_noise: float = 2e-3,
+    noise_scale: float = 1.0,
     thruster_gain_jitter: float = 0.0,
     current=(0.0, 0.0, 0.0),
     method: str = "euler",
@@ -182,7 +190,10 @@ def generate_tank_recording(
       yaw bias on T1-T4, so psi winds far beyond +-pi — the real recording
       reached 1217 deg (``best_results.txt:814``); states record unwrapped
       Euler angles and are never wrapped during metrics;
-    * mocap-scale Gaussian sensor noise on all recorded channels;
+    * mocap-scale Gaussian sensor noise on all recorded channels
+      (``noise_scale`` multiplies all four sigmas without changing the
+      draw — ``X_true``/``U`` stay bit-identical to the blessed
+      datasets);
     * optional **structural** mismatch the nominal model cannot express
       even with perfect coefficients: per-thruster gain asymmetry
       (``thruster_gain_jitter``, emulating propeller wear / ESC spread)
@@ -260,6 +271,7 @@ def generate_tank_recording(
         return X_true, U
 
     X_true, U = run(x0)
-    X = _add_sensor_noise(k_n, X_true, pos_noise, ang_noise, vel_noise,
-                          angvel_noise, dtype)
+    X = _add_sensor_noise(k_n, X_true, noise_scale * pos_noise,
+                          noise_scale * ang_noise, noise_scale * vel_noise,
+                          noise_scale * angvel_noise, dtype)
     return SimDataset(X=X, X_true=X_true, U=U, dt=dt)

@@ -10,8 +10,8 @@
 * :mod:`di` — learned linear double-integrator model.
 * :mod:`pinc` — physics-informed residual network (flax/optax).
 * :mod:`sysid` — differentiable Fossen coefficient identification.
-* :mod:`control` — trim / LQR / Koopman-LQR / trajopt / MPC.
-* :mod:`estimation` — KF / EKF / UKF / RTS smoother / Koopman-KF.
+* :mod:`control` — trim / LQR / Koopman-LQR / trajopt / MPC / MPPI.
+* :mod:`estimation` — KF / EKF / UKF / PF / RTS smoother / Koopman-KF.
 """
 
 from bluerov2_dynamics_tpu.models.params import (  # noqa: F401

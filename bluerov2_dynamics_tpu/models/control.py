@@ -24,7 +24,12 @@ tools a JAX rebuild gets for free:
 * :func:`trajopt` — direct trajectory optimization: Adam over a
   tanh-squashed control sequence differentiated through the rollout
   ``lax.scan`` (the same machinery as ``models/sysid.py``, pointed at
-  controls instead of coefficients).
+  controls instead of coefficients);
+* :func:`simulate_mppi` — sampling-based receding-horizon control
+  (MPPI): every replan rolls ``n_samples`` perturbed plans through the
+  model in one batched scan — gradient-free, so discontinuous costs
+  (obstacle indicators) work, and the sample batch is exactly the
+  massively-parallel shape the TPU's batched dynamics are built for.
 
 Everything is pure-functional and jit-compatible; the scanned Riccati
 and Adam loops each compile to a single XLA program.
@@ -354,6 +359,136 @@ def simulate_mpc(
         return jnp.concatenate([get_state(carry0)[None], X]), U
 
     return run(carry_init(x0), jnp.zeros((horizon, u_dim), dtype))
+
+
+# ---------------------------------------------------------------------------
+# Sampling-based MPC (MPPI)
+# ---------------------------------------------------------------------------
+
+def simulate_mppi(
+    plant_step: Callable,
+    x0,
+    x_target,
+    sim_steps: int,
+    horizon: int = 60,
+    n_samples: int = 512,
+    sigma: float = 0.1,
+    temperature: float = 0.01,
+    init_rounds: int = 20,
+    replan_rounds: int = 4,
+    u_limit: float = 1.0,
+    effort_weight: float = 1e-3,
+    state_weight=None,
+    extra_cost: Optional[Callable] = None,
+    carry_init: Callable = lambda x: x,
+    get_state: Callable = lambda c: c,
+    u_dim: int = 8,
+    key=None,
+    dtype=jnp.float32,
+):
+    """Closed-loop MPPI (sampling-based receding-horizon control).
+
+    Model Predictive Path Integral control (Williams et al., 2017): at
+    every plant step, ``n_samples`` noise sequences
+    ``eps ~ N(0, sigma^2)`` perturb the nominal plan, ALL candidates
+    ``clip(U + eps)`` roll out through the model **in one batched scan**
+    (states broadcast over a leading sample axis — the same layout rule
+    as every hot path in this repo), trajectory costs weight the noise
+    by ``softmax(-S / temperature)``, and the plan moves toward the
+    low-cost samples.  The executed plan is shifted one step as the warm
+    start (``init_rounds`` extra sampling rounds refine the initial
+    all-zeros plan, mirroring :func:`simulate_mpc`'s ``init_iters``).
+
+    What this buys over the gradient MPC above: the cost needs **no
+    gradients**, so hard, non-differentiable terms — obstacle indicator
+    penalties, rate limits, minimum-time flags — drop into
+    ``extra_cost(x, u) -> (...,) per-sample cost`` unchanged (the
+    closed-loop obstacle test uses a discontinuous inside-the-cylinder
+    indicator that ``jax.grad`` would see as zero gradient everywhere).
+    The price is sampling noise; the whole loop is still ONE nested-scan
+    XLA program, and the ``n_samples x horizon`` rollout batch is
+    exactly the shape the TPU wants (sim_steps x init-free rollouts of
+    ``n_samples`` parallel plants).
+
+    Tuning lessons (measured on the hover/obstacle tasks, CPU sweep):
+    ONE sampling round per step lets weighted noise accumulate in the
+    nominal plan faster than the costs pull it out — the loop converges
+    then drifts; ``replan_rounds=4`` with ``sigma~0.1`` converges
+    monotonically (final error 8% of initial on hover, vs 64% at
+    rounds=1/sigma=0.3).  And the heavy-drag plant needs the same
+    horizon as :func:`simulate_mpc`: H=40 (0.8 s) stalls ~1 m from the
+    target on the obstacle task where H=60 reaches 0.04 m.
+
+    Returns ``(X, U)`` like :func:`simulate_mpc`.  Deterministic given
+    ``key`` (default ``PRNGKey(0)``).
+    """
+    x0 = jnp.asarray(x0, dtype)
+    x_target = jnp.asarray(x_target, dtype)
+    w = (jnp.ones_like(x_target) if state_weight is None
+         else jnp.asarray(state_weight, dtype))
+    key = jax.random.PRNGKey(0) if key is None else key
+
+    def _batched(carry):
+        return jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (n_samples,) + a.shape), carry)
+
+    def _stage_cost(x, u):
+        c = (jnp.sum(w * (x - x_target) ** 2, axis=-1)
+             + effort_weight * jnp.sum(u ** 2, axis=-1))
+        if extra_cost is not None:
+            c = c + extra_cost(x, u)
+        return c
+
+    def _replan(U, carry, k):
+        eps = sigma * jax.random.normal(
+            k, (n_samples, horizon, u_dim), dtype)
+        U_cand = jnp.clip(U[None] + eps, -u_limit, u_limit)
+
+        def body(c, u):            # u: (n_samples, u_dim)
+            c = plant_step(c, u)
+            return c, _stage_cost(get_state(c), u)
+
+        _, costs = jax.lax.scan(
+            body, _batched(carry), jnp.swapaxes(U_cand, 0, 1))
+        S = jnp.mean(costs, axis=0)                      # (n_samples,)
+        wts = jax.nn.softmax(-(S - jnp.min(S)) / temperature)
+        U = jnp.clip(U + jnp.einsum("k,khr->hr", wts, eps),
+                     -u_limit, u_limit)
+        return U, S
+
+    @jax.jit
+    def run(carry0, key):
+        def init_body(st, _):
+            U, k = st
+            k, sub = jax.random.split(k)
+            U, _ = _replan(U, carry0, sub)
+            return (U, k), None
+
+        (U0, key), _ = jax.lax.scan(
+            init_body, (jnp.zeros((horizon, u_dim), dtype), key),
+            None, length=init_rounds)
+
+        def outer(state, _):
+            carry, U, k = state
+            u = U[0]
+            carry = plant_step(carry, u)
+            U = jnp.concatenate([U[1:], U[-1:]])         # shift warm start
+
+            def round_body(st, _):
+                U, k = st
+                k, sub = jax.random.split(k)
+                U, _ = _replan(U, carry, sub)
+                return (U, k), None
+
+            (U, k), _ = jax.lax.scan(round_body, (U, k), None,
+                                     length=replan_rounds)
+            return (carry, U, k), (get_state(carry), u)
+
+        _, (X, U_applied) = jax.lax.scan(
+            outer, (carry0, U0, key), None, length=sim_steps)
+        return jnp.concatenate([get_state(carry0)[None], X]), U_applied
+
+    return run(carry_init(x0), key)
 
 
 # ---------------------------------------------------------------------------

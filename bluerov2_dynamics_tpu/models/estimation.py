@@ -24,6 +24,12 @@ with the estimators a differentiable model family gets for free:
   :class:`~bluerov2_dynamics_tpu.models.koopman.KoopmanModel`, with the
   readout as the measurement matrix — state estimation without
   linearizing (or even knowing) the physics;
+* :func:`particle_filter` — bootstrap sequential Monte Carlo: the
+  particle ensemble is a leading batch axis through the full nonlinear
+  step (the massively-parallel shape this framework is built around),
+  with systematic resampling inside the scan — the estimator that still
+  works where EKF/UKF unimodality breaks (tested on a sign-ambiguous
+  bimodal measurement);
 * :func:`nees` — normalized estimation error squared against ground
   truth (filter-consistency diagnostic).
 
@@ -303,6 +309,153 @@ def ekf_smooth(step, h, Q, R, m0, P0, U, Y,
                residual: Optional[Callable] = None) -> SmootherResult:
     """Forward EKF + RTS backward pass in one call."""
     return rts_smooth(step, Q, U, ekf(step, h, Q, R, m0, P0, U, Y, residual))
+
+
+class ParticleFilterResult(NamedTuple):
+    """Output of a particle-filtering pass (weighted-ensemble posterior)."""
+
+    means: jnp.ndarray   # (T, n) weighted posterior means
+    covs: jnp.ndarray    # (T, n, n) weighted posterior covariances
+    loglik: jnp.ndarray  # scalar: sum_k log p_hat(y_k | y_{:k}) evidence
+    ess: jnp.ndarray     # (T,) effective sample size after each update
+
+
+def particle_filter(
+    step: Callable,
+    h: Callable,
+    Q,
+    R,
+    m0,
+    P0,
+    U,
+    Y,
+    n_particles: int = 1024,
+    key=None,
+    ess_frac: float = 0.5,
+    residual: Optional[Callable] = None,
+) -> ParticleFilterResult:
+    """Bootstrap particle filter (sequential Monte Carlo) — no Gaussian
+    posterior assumption at all.
+
+    Same ``step``/``h``/dataset contract as :func:`ekf` (additive
+    Gaussian process / measurement noise ``Q``/``R``), but the posterior
+    is a weighted particle ensemble: ``n_particles`` states propagate
+    through the FULL nonlinear step in one batched call per scan step
+    (the particle axis is a leading batch axis — the massively-parallel
+    shape this framework is built around), weights multiply by the
+    Gaussian measurement likelihood, and systematic resampling fires
+    whenever the effective sample size drops below
+    ``ess_frac * n_particles`` (inside ``lax.cond``; the whole filter is
+    still ONE compiled scan).  Where the EKF's linearization or the
+    UKF's unimodality assumption breaks (multi-modal ambiguity,
+    strongly non-Gaussian posteriors), this is the estimator that still
+    converges — pinned by a bimodal sign-ambiguous-measurement test the
+    EKF provably cannot solve.
+
+    ``loglik`` is the standard SMC evidence estimate
+    ``sum_k log( sum_i w_i p(y_k | x_i) )`` (unbiased in the particle
+    ensemble; matches the exact KF evidence on linear-Gaussian systems
+    to Monte-Carlo accuracy — tested).  Deterministic given ``key``.
+
+    Notes: ``Q`` must be positive definite (it is the proposal's
+    exploration noise — a singular process model needs jitter);
+    ``step``/``h`` are vmapped over the particle axis, so they need only
+    handle single states, exactly like :func:`ekf`.
+
+    Scope (measured on the pseudo tank recording): at MOCAP-scale noise
+    (sigma ~1e-3) with a mismatched plant the 12-dim bootstrap PF loses
+    to the raw sensor — the measurement update can only SELECT among
+    particles, so its per-step correction capacity is the process-noise
+    scale, and the tight likelihood collapses ESS to ~1; the EKF's
+    gain-based correction is the right tool there.  At DVL/AHRS-class
+    noise (``--noise-scale 25`` in ``apps/estimate.py``) it beats the
+    raw sensor 2.3x at ESS ~70 — use it where the posterior is
+    genuinely non-Gaussian or the noise is heavy, not as a drop-in EKF
+    replacement.
+    """
+    Q = jnp.asarray(Q)
+    R = jnp.asarray(R)
+    m0 = jnp.asarray(m0)
+    P0 = jnp.asarray(P0)
+    U = jnp.asarray(U)
+    Y = jnp.asarray(Y)
+    if Y.shape[0] != U.shape[0] + 1:
+        raise ValueError(
+            f"U must have T-1={Y.shape[0] - 1} rows (transition inputs), "
+            f"got {U.shape[0]}"
+        )
+    key = jax.random.PRNGKey(0) if key is None else key
+    n = m0.shape[0]
+    N = n_particles
+    Lq = jnp.linalg.cholesky(_sym(Q))
+    cf_r = cho_factor(_sym(R), lower=True)
+    logdet_r = 2.0 * jnp.sum(jnp.log(jnp.diagonal(cf_r[0])))
+    h_batch = jax.vmap(h)
+
+    def meas_logpdf(y, X):
+        """log N(residual(y, h(x)); 0, R) for every particle row."""
+        y_pred = h_batch(X)                               # (N, m)
+        v = (y[None] - y_pred if residual is None
+             else residual(y[None], y_pred))
+        Sinv_v = cho_solve(cf_r, v.T).T
+        return -0.5 * (jnp.sum(v * Sinv_v, axis=-1) + logdet_r
+                       + y.shape[0] * _LOG2PI)
+
+    def weigh(logw, y, X):
+        """Multiply weights by the likelihood; return normalized log
+        weights + the step's evidence increment + ESS."""
+        lw = logw + meas_logpdf(y, X)
+        ll_inc = jax.scipy.special.logsumexp(lw)
+        logw = lw - ll_inc
+        w = jnp.exp(logw)
+        return logw, ll_inc, 1.0 / jnp.sum(w * w)
+
+    def moments(logw, X):
+        w = jnp.exp(logw)
+        mean = w @ X
+        d = X - mean
+        cov = _sym((d * w[:, None]).T @ d)
+        return mean, cov
+
+    def resample(logw, X, k):
+        """Systematic resampling (one uniform draw, stratified comb)."""
+        w = jnp.exp(logw)
+        positions = (jax.random.uniform(k, (), w.dtype)
+                     + jnp.arange(N, dtype=w.dtype)) / N
+        idx = jnp.searchsorted(jnp.cumsum(w), positions)
+        idx = jnp.clip(idx, 0, N - 1)
+        return jnp.full(N, -jnp.log(float(N)), w.dtype), X[idx]
+
+    k0, key = jax.random.split(key)
+    X = m0[None] + jax.random.normal(k0, (N, n), m0.dtype) @ jnp.linalg.cholesky(
+        _sym(P0)).T
+    logw, ll0, ess0 = weigh(jnp.full(N, -jnp.log(float(N)), m0.dtype),
+                            Y[0], X)
+    mean0, cov0 = moments(logw, X)
+
+    def body(carry, inp):
+        logw, X, key = carry
+        u, y = inp
+        key, k_rs, k_prop = jax.random.split(key, 3)
+        logw, X = jax.lax.cond(
+            1.0 / jnp.sum(jnp.exp(logw) ** 2) < ess_frac * N,
+            lambda: resample(logw, X, k_rs),
+            lambda: (logw, X),
+        )
+        X = (jax.vmap(lambda xx: step(xx, u))(X)
+             + jax.random.normal(k_prop, (N, n), X.dtype) @ Lq.T)
+        logw, ll_inc, ess = weigh(logw, y, X)
+        mean, cov = moments(logw, X)
+        return (logw, X, key), (mean, cov, ll_inc, ess)
+
+    (_, _, _), (ms, Ps, lls, esss) = jax.lax.scan(
+        body, (logw, X, key), (U, Y[1:]))
+    return ParticleFilterResult(
+        means=jnp.concatenate([mean0[None], ms]),
+        covs=jnp.concatenate([cov0[None], Ps]),
+        loglik=ll0 + jnp.sum(lls),
+        ess=jnp.concatenate([ess0[None], esss]),
+    )
 
 
 def kalman_filter(A, B, H, Q, R, m0, P0, U, Y) -> FilterResult:

@@ -30,8 +30,13 @@ def plot_topdown_with_depth(
     marker_cmap: str = "viridis",
     dpi: int = 300,
     title: str = None,
+    obstacles=None,
 ):
-    """Plot the first ~``seconds`` of each trajectory in the x-y plane."""
+    """Plot the first ~``seconds`` of each trajectory in the x-y plane.
+
+    ``obstacles``: optional iterable of ``(cx, cy, radius)`` keep-out
+    disks, drawn shaded under the trajectories (used by the MPPI
+    control demo)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -58,6 +63,14 @@ def plot_topdown_with_depth(
         )
         lines.append(ln)
     colors = [ln.get_color() for ln in lines]
+
+    if obstacles:
+        from matplotlib.patches import Circle
+
+        for cx, cy, r in obstacles:
+            ax.add_patch(Circle((cx, cy), r, facecolor="0.88",
+                                edgecolor="k", hatch="///", lw=1.0,
+                                zorder=0))
 
     # time-synchronized discrete markers + colorbar
     if marker_step_seconds > 0:

@@ -229,3 +229,77 @@ def test_mpc_monotone_approach_vs_lqr_overshoot(plant):
     # the path claim (measured: MPC max 1.581 == init, LQR max 2.009)
     assert float(jnp.max(pm)) <= 1.02 * init, float(jnp.max(pm))
     assert float(jnp.max(pl)) >= 1.20 * init, float(jnp.max(pl))
+
+
+def test_mppi_hover_recovery(plant):
+    """Sampling-based MPPI regulates the full nonlinear lag plant from a
+    pose perturbation — no gradients anywhere in the controller; every
+    replan is one batched rollout over the sample axis (the repo's
+    leading-dim batching rule)."""
+    _, _, step = plant
+    x0 = jnp.zeros(12).at[0].set(0.5).at[1].set(-0.4).at[5].set(0.6)
+    e0 = float(jnp.linalg.norm(x0))
+    X, U = control.simulate_mppi(
+        step, x0, jnp.zeros(12), sim_steps=300, horizon=60,
+        n_samples=256, sigma=0.08, temperature=0.005, init_rounds=15,
+        effort_weight=1e-2, replan_rounds=4,
+        carry_init=lambda x: (x, jnp.zeros((8, 3), jnp.float32)),
+        get_state=lambda c: c[0],
+        key=jax.random.PRNGKey(0))
+    assert X.shape == (301, 12) and U.shape == (300, 8)
+    assert float(jnp.max(jnp.abs(U))) <= 1.0
+    ef = float(jnp.linalg.norm(X[-1]))
+    # measured 0.072 (8% of e0); margin 2x
+    assert ef < 0.16 * e0, (e0, ef)
+
+
+def test_mppi_deterministic(plant):
+    """Same PRNG key -> bit-identical closed loop (the controller's only
+    randomness is the explicit key)."""
+    _, _, step = plant
+    x0 = jnp.zeros(12).at[0].set(0.3)
+    kw = dict(sim_steps=40, horizon=15, n_samples=64, init_rounds=5,
+              replan_rounds=2,
+              carry_init=lambda x: (x, jnp.zeros((8, 3), jnp.float32)),
+              get_state=lambda c: c[0],
+              key=jax.random.PRNGKey(7))
+    X1, U1 = control.simulate_mppi(step, x0, jnp.zeros(12), **kw)
+    X2, U2 = control.simulate_mppi(step, x0, jnp.zeros(12), **kw)
+    np.testing.assert_array_equal(np.asarray(X1), np.asarray(X2))
+    np.testing.assert_array_equal(np.asarray(U1), np.asarray(U2))
+
+
+def test_mppi_obstacle_indicator_cost(plant):
+    """The capability gradient MPC cannot have: a DISCONTINUOUS
+    inside-the-cylinder indicator penalty (zero gradient a.e. — Adam
+    through the rollout would never see it).  MPPI's sampled rollouts
+    price it directly: the path detours around the cylinder sitting on
+    the straight line to the target, while the obstacle-blind LQR drives
+    straight through it."""
+    p, cfg, step = plant
+    x0 = jnp.zeros(12).at[0].set(1.5)
+    center = jnp.asarray([0.75, 0.0])
+    radius = 0.3
+
+    def obstacle(x, u):
+        d = jnp.linalg.norm(x[..., :2] - center, axis=-1)
+        return 200.0 * (d < radius)          # indicator, not differentiable
+
+    pol = control.fossen_lqr(p, cfg, DT)
+    Xl, _ = control.simulate_closed_loop(
+        step, pol, (x0, _lag0()), 400, get_state=lambda c: c[0])
+    dl = jnp.linalg.norm(Xl[:, :2] - center, axis=1)
+    assert float(jnp.min(dl)) < 0.15 * radius  # LQR cuts through the middle
+
+    X, _ = control.simulate_mppi(
+        step, x0, jnp.zeros(12), sim_steps=400, horizon=60,
+        n_samples=256, sigma=0.15, temperature=0.01, init_rounds=20,
+        effort_weight=1e-2, replan_rounds=4, extra_cost=obstacle,
+        carry_init=lambda x: (x, jnp.zeros((8, 3), jnp.float32)),
+        get_state=lambda c: c[0],
+        key=jax.random.PRNGKey(1))
+    dm = jnp.linalg.norm(X[:, :2] - center, axis=1)
+    # measured min distance 0.303 (fully outside the disk)
+    assert float(jnp.min(dm)) > 0.9 * radius, float(jnp.min(dm))
+    # and it still reaches the target (measured 0.042)
+    assert float(jnp.linalg.norm(X[-1, :3])) < 0.15

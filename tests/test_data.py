@@ -197,6 +197,35 @@ def test_tank_recording_dataset(rng):
     assert float(metrics.rmse(xn, xg)) > 1e-6
 
 
+def test_noise_scale_preserves_truth_and_scales_noise(rng):
+    """noise_scale multiplies the sensor-noise DRAW only: X_true/U stay
+    bit-identical to the blessed default datasets and the noise scales
+    exactly linearly (same PRNG stream, scaled sigmas)."""
+    import jax
+
+    k = jax.random.PRNGKey(5)
+    a = synthetic.generate_tank_recording(k, n_steps=500, dt=0.02)
+    b = synthetic.generate_tank_recording(k, n_steps=500, dt=0.02,
+                                          noise_scale=25.0)
+    np.testing.assert_array_equal(np.asarray(a.X_true), np.asarray(b.X_true))
+    np.testing.assert_array_equal(np.asarray(a.U), np.asarray(b.U))
+    na = np.asarray(a.X) - np.asarray(a.X_true)
+    nb = np.asarray(b.X) - np.asarray(b.X_true)
+    # recovered noise = difference of f32 sums: tolerance is the f32
+    # quantization of X_true (psi winds to tens of rads), not exactness
+    np.testing.assert_allclose(nb, 25.0 * na, rtol=0.05, atol=1e-5)
+
+    s1 = synthetic.generate_sim_dataset(k, n_steps=300, dt=0.05)
+    s2 = synthetic.generate_sim_dataset(k, n_steps=300, dt=0.05,
+                                        noise_scale=10.0)
+    np.testing.assert_array_equal(np.asarray(s1.X_true),
+                                  np.asarray(s2.X_true))
+    np.testing.assert_allclose(
+        np.asarray(s2.X) - np.asarray(s2.X_true),
+        10.0 * (np.asarray(s1.X) - np.asarray(s1.X_true)),
+        rtol=0.05, atol=1e-5)
+
+
 def test_tank_recording_structural_mismatch_options(rng):
     """Opt-in generator systematics: per-thruster gain asymmetry and an
     ambient current change the data (vs the default generator) while
