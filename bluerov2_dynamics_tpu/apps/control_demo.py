@@ -251,8 +251,7 @@ def main(argv=None):
         elif args.task == "mppi":
             trajs = {"MPPI": out["mppi"]["X"], "LQR": out["mppi"]["X_lqr"]}
             name = "control_demo_mppi_2D.png"
-            title = ("Sampling-based MPPI vs obstacle-blind LQR "
-                     "(hard keep-out disk, top view)")
+            title = "MPPI vs obstacle-blind LQR (keep-out disk)"
             obstacles = [MPPI_OBSTACLE]
         elif args.task == "all":
             trajs = {k.upper(): v["X"] for k, v in out.items()}

@@ -11,6 +11,8 @@ it, and the tank pipeline ingests the mocap topics verbatim,
    applied wrench by one linear lag scan
    (``thrusters.effective_wrench_history`` — the lag depends only on the
    commands, so the 12-state filter never needs the 24 lag coordinates);
+   ``--filter pf`` swaps in the bootstrap particle filter for heavy-noise
+   / non-Gaussian regimes (pair with ``--noise-scale``);
 2. an EKF (exact ``jax.jacfwd`` Jacobians of the full Fossen wrench step,
    one ``lax.scan``) or UKF filters the recording; ``--smooth`` adds the
    RTS backward pass;

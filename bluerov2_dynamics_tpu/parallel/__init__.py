@@ -5,6 +5,7 @@ from bluerov2_dynamics_tpu.parallel.mesh import (  # noqa: F401
 )
 from bluerov2_dynamics_tpu.parallel.sharded import (  # noqa: F401
     sharded_ekf_bank,
+    sharded_pf_bank,
     sharded_endpoint_rmse,
     sharded_koopman_fit,
     sharded_koopman_multistep_rmse,

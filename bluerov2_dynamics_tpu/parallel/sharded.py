@@ -475,3 +475,61 @@ def sharded_ekf_bank(
         )(m0, U, Y)
 
     return run(m0, U, Y)
+
+
+def sharded_pf_bank(
+    mesh: Mesh,
+    step: Callable,
+    h: Callable,
+    Q,
+    R,
+    m0,
+    P0,
+    U,
+    Y,
+    key,
+    n_particles: int = 1024,
+    data_axis: str = "data",
+    ess_frac: float = 0.5,
+    residual: Callable | None = None,
+):
+    """Bank of bootstrap particle filters, one per trajectory, sharded.
+
+    Same contract as :func:`sharded_ekf_bank` plus ``key``/
+    ``n_particles``: each trajectory runs the exact single-trajectory
+    :func:`~bluerov2_dynamics_tpu.models.estimation.particle_filter`
+    with its own ``fold_in(key, trajectory_index)`` stream, so the
+    result is bit-comparable to the same vmapped bank on one device
+    regardless of how the batch is sharded (pinned by
+    ``tests/test_parallel.py``; exercised by the driver dryrun).  The
+    compute is (B x N_particles)-parallel — two nested batch axes the
+    partitioner splits freely over ``data_axis``.
+    """
+    from bluerov2_dynamics_tpu.models.estimation import particle_filter
+
+    U = jnp.asarray(U)
+    Y = jnp.asarray(Y)
+    m0 = jnp.asarray(m0)
+    if Y.shape[1] != U.shape[1] + 1:
+        raise ValueError(
+            f"U must have T-1={Y.shape[1] - 1} transition inputs per "
+            f"trajectory, got {U.shape[1]}"
+        )
+    batch = NamedSharding(mesh, P(data_axis))
+    repl = NamedSharding(mesh, P())
+    idx = jnp.arange(m0.shape[0], dtype=jnp.uint32)
+
+    @partial(jax.jit, in_shardings=(repl, repl, repl, repl))
+    def run(m0, U, Y, idx):
+        m0 = jax.lax.with_sharding_constraint(m0, batch)
+        U = jax.lax.with_sharding_constraint(U, batch)
+        Y = jax.lax.with_sharding_constraint(Y, batch)
+        idx = jax.lax.with_sharding_constraint(idx, batch)
+        return jax.vmap(
+            lambda m0_b, U_b, Y_b, i: particle_filter(
+                step, h, Q, R, m0_b, P0, U_b, Y_b,
+                n_particles=n_particles, key=jax.random.fold_in(key, i),
+                ess_frac=ess_frac, residual=residual)
+        )(m0, U, Y, idx)
+
+    return run(m0, U, Y, idx)

@@ -395,3 +395,39 @@ def test_sharded_ekf_bank_matches_single_device(rng, mesh):
                                        float(want.loglik), rtol=1e-8)
         with pytest.raises(ValueError):
             sharded_ekf_bank(mesh, step, h, Q, R, m0, P0, U[:, :-1], Y)
+
+
+def test_sharded_pf_bank_matches_single_device(rng, mesh):
+    """Per-trajectory fold_in keys make the sharded PF bank bit-comparable
+    to the same vmapped bank on one device, for divisible and
+    non-divisible batch sizes."""
+    from bluerov2_dynamics_tpu.models import estimation
+    from bluerov2_dynamics_tpu.parallel import sharded_pf_bank
+
+    step = _linear_step(rng)
+    h = lambda x: x[:2]
+    n, m, r, T, NP = 3, 2, 2, 20, 64
+    Q = jnp.eye(n) * 1e-4
+    R = jnp.eye(m) * 1e-2
+    P0 = jnp.eye(n) * 0.1
+    key = jax.random.PRNGKey(4)
+    for B in (16, 11):
+        U = jnp.asarray(rng.normal(size=(B, T - 1, r)))
+        Y = jnp.asarray(rng.normal(size=(B, T, m)))
+        m0 = jnp.asarray(rng.normal(size=(B, n)))
+        got = sharded_pf_bank(mesh, step, h, Q, R, m0, P0, U, Y, key,
+                              n_particles=NP)
+        for b in (0, B - 1):
+            want = estimation.particle_filter(
+                step, h, Q, R, m0[b], P0, U[b], Y[b], n_particles=NP,
+                key=jax.random.fold_in(key, jnp.uint32(b)))
+            np.testing.assert_allclose(np.asarray(got.means[b]),
+                                       np.asarray(want.means), rtol=1e-5,
+                                       atol=1e-7)
+            np.testing.assert_allclose(np.asarray(got.ess[b]),
+                                       np.asarray(want.ess), rtol=1e-5)
+            np.testing.assert_allclose(float(got.loglik[b]),
+                                       float(want.loglik), rtol=1e-6)
+        with pytest.raises(ValueError):
+            sharded_pf_bank(mesh, step, h, Q, R, m0, P0, U[:, :-1], Y, key,
+                            n_particles=NP)
