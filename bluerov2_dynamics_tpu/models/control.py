@@ -297,6 +297,7 @@ def simulate_mpc(
     carry_init: Callable = lambda x: x,
     get_state: Callable = lambda c: c,
     u_dim: int = 8,
+    model_step: Optional[Callable] = None,
     dtype=jnp.float32,
 ):
     """Closed-loop receding-horizon MPC; returns ``(X, U)``.
@@ -315,7 +316,17 @@ def simulate_mpc(
     actuator saturation inside the plan (tanh) and the full nonlinear
     model over the horizon, so it keeps working where the linearization
     is saturated or invalid.
+
+    ``model_step`` (defaults to ``plant_step``) is the PLANNING model —
+    the step the horizon rollouts differentiate through, while
+    ``plant_step`` is only ever executed.  Pass an identified model
+    (``sysid.fit_thruster`` output, a lag-free approximation, a fitted
+    Koopman step wrapped to the same carry contract) to plan on the
+    model and execute on the true plant — the realistic MPC setting;
+    robustness to the model/plant gap is pinned in
+    ``tests/test_control.py``.
     """
+    model = plant_step if model_step is None else model_step
     x0 = jnp.asarray(x0, dtype)
     x_target = jnp.asarray(x_target, dtype)
     w = (jnp.ones_like(x_target) if state_weight is None
@@ -324,7 +335,7 @@ def simulate_mpc(
 
     def plan_cost(V, carry):
         def body(c, v):
-            c = plant_step(c, u_limit * jnp.tanh(v))
+            c = model(c, u_limit * jnp.tanh(v))
             x = get_state(c)
             return c, jnp.sum(w * (x - x_target) ** 2)
 
@@ -383,6 +394,7 @@ def simulate_mppi(
     carry_init: Callable = lambda x: x,
     get_state: Callable = lambda c: c,
     u_dim: int = 8,
+    model_step: Optional[Callable] = None,
     key=None,
     dtype=jnp.float32,
 ):
@@ -419,9 +431,15 @@ def simulate_mppi(
     horizon as :func:`simulate_mpc`: H=40 (0.8 s) stalls ~1 m from the
     target on the obstacle task where H=60 reaches 0.04 m.
 
+    ``model_step`` (defaults to ``plant_step``): the PLANNING model the
+    sampled rollouts run through, same carry contract — plan on an
+    identified/approximate model, execute on the true plant (see
+    :func:`simulate_mpc`).
+
     Returns ``(X, U)`` like :func:`simulate_mpc`.  Deterministic given
     ``key`` (default ``PRNGKey(0)``).
     """
+    model = plant_step if model_step is None else model_step
     x0 = jnp.asarray(x0, dtype)
     x_target = jnp.asarray(x_target, dtype)
     w = (jnp.ones_like(x_target) if state_weight is None
@@ -445,7 +463,7 @@ def simulate_mppi(
         U_cand = jnp.clip(U[None] + eps, -u_limit, u_limit)
 
         def body(c, u):            # u: (n_samples, u_dim)
-            c = plant_step(c, u)
+            c = model(c, u)
             return c, _stage_cost(get_state(c), u)
 
         _, costs = jax.lax.scan(

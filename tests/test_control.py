@@ -264,9 +264,36 @@ def test_mppi_deterministic(plant):
               get_state=lambda c: c[0],
               key=jax.random.PRNGKey(7))
     X1, U1 = control.simulate_mppi(step, x0, jnp.zeros(12), **kw)
-    X2, U2 = control.simulate_mppi(step, x0, jnp.zeros(12), **kw)
+    # explicit model_step == plant_step must be the identical program
+    X2, U2 = control.simulate_mppi(step, x0, jnp.zeros(12),
+                                   model_step=step, **kw)
     np.testing.assert_array_equal(np.asarray(X1), np.asarray(X2))
     np.testing.assert_array_equal(np.asarray(U1), np.asarray(U2))
+
+
+def test_mpc_plans_on_model_executes_on_plant(plant):
+    """The realistic MPC setting: the horizon rollouts differentiate
+    through a PLANNING MODEL (here the lag-free step — unmodeled
+    third-order actuator dynamics) while the true lag plant is only ever
+    executed.  The model/plant gap must not break convergence."""
+    p, cfg, step = plant
+    nolag = fossen.make_thruster_step(p, cfg, lag_params(DT), DT, "euler",
+                                      use_lag=False)
+    x0 = jnp.zeros(12).at[0].set(1.0).at[1].set(0.5)
+    e0 = float(jnp.linalg.norm(x0[:3]))
+    X, U = control.simulate_mpc(
+        step, x0, jnp.zeros(12), sim_steps=300, horizon=60,
+        replan_iters=10, init_iters=150, lr=0.1,
+        carry_init=lambda x: (x, jnp.zeros((8, 3), jnp.float32)),
+        get_state=lambda c: c[0], model_step=nolag)
+    assert X.shape == (301, 12) and U.shape == (300, 8)
+    e = jnp.linalg.norm(X[:, :3], axis=1)
+    # steady monotone convergence despite the model/plant gap (measured
+    # 1.118 -> 0.40 at 6 s, same rate as the gap-free MPC test above)
+    assert float(e[-1]) < 0.45 * e0, (e0, float(e[-1]))
+    coarse = np.asarray(e[::50])
+    assert np.all(np.diff(coarse) < 0.0), coarse
+    assert float(jnp.max(e)) <= 1.02 * e0
 
 
 def test_mppi_obstacle_indicator_cost(plant):
