@@ -298,6 +298,8 @@ def simulate_mpc(
     get_state: Callable = lambda c: c,
     u_dim: int = 8,
     model_step: Optional[Callable] = None,
+    model_carry: Optional[Callable] = None,
+    model_get_state: Optional[Callable] = None,
     dtype=jnp.float32,
 ):
     """Closed-loop receding-horizon MPC; returns ``(X, U)``.
@@ -321,12 +323,18 @@ def simulate_mpc(
     the step the horizon rollouts differentiate through, while
     ``plant_step`` is only ever executed.  Pass an identified model
     (``sysid.fit_thruster`` output, a lag-free approximation, a fitted
-    Koopman step wrapped to the same carry contract) to plan on the
-    model and execute on the true plant — the realistic MPC setting;
-    robustness to the model/plant gap is pinned in
-    ``tests/test_control.py``.
+    Koopman lifted step) to plan on the model and execute on the true
+    plant — the realistic MPC setting; robustness to the model/plant
+    gap is pinned in ``tests/test_control.py``.  When the model lives
+    in a DIFFERENT state space (e.g. the Koopman lift), ``model_carry``
+    converts the plant carry to the model's rollout carry at each
+    replan (e.g. ``lambda c: koopman.lift(m, get_state(c))``) and
+    ``model_get_state`` reads the cost state back out of it (e.g. the
+    ``z[:n]`` readout); both default to the plant's hooks.
     """
     model = plant_step if model_step is None else model_step
+    to_model = (lambda c: c) if model_carry is None else model_carry
+    model_state = get_state if model_get_state is None else model_get_state
     x0 = jnp.asarray(x0, dtype)
     x_target = jnp.asarray(x_target, dtype)
     w = (jnp.ones_like(x_target) if state_weight is None
@@ -336,10 +344,10 @@ def simulate_mpc(
     def plan_cost(V, carry):
         def body(c, v):
             c = model(c, u_limit * jnp.tanh(v))
-            x = get_state(c)
+            x = model_state(c)
             return c, jnp.sum(w * (x - x_target) ** 2)
 
-        _, costs = jax.lax.scan(body, carry, V)
+        _, costs = jax.lax.scan(body, to_model(carry), V)
         return jnp.mean(costs) + effort_weight * jnp.mean(jnp.tanh(V) ** 2)
 
     def _optimize(V, carry, iters):
@@ -395,6 +403,8 @@ def simulate_mppi(
     get_state: Callable = lambda c: c,
     u_dim: int = 8,
     model_step: Optional[Callable] = None,
+    model_carry: Optional[Callable] = None,
+    model_get_state: Optional[Callable] = None,
     key=None,
     dtype=jnp.float32,
 ):
@@ -432,14 +442,19 @@ def simulate_mppi(
     target on the obstacle task where H=60 reaches 0.04 m.
 
     ``model_step`` (defaults to ``plant_step``): the PLANNING model the
-    sampled rollouts run through, same carry contract — plan on an
-    identified/approximate model, execute on the true plant (see
-    :func:`simulate_mpc`).
+    sampled rollouts run through — plan on an identified/approximate
+    model, execute on the true plant; ``model_carry``/
+    ``model_get_state`` bridge a model in a different state space
+    (Koopman lift), exactly as in :func:`simulate_mpc`.  Koopman-MPPI —
+    gradient-free planning on a purely data-driven lifted model — is
+    pinned in ``tests/test_control.py``.
 
     Returns ``(X, U)`` like :func:`simulate_mpc`.  Deterministic given
     ``key`` (default ``PRNGKey(0)``).
     """
     model = plant_step if model_step is None else model_step
+    to_model = (lambda c: c) if model_carry is None else model_carry
+    model_state = get_state if model_get_state is None else model_get_state
     x0 = jnp.asarray(x0, dtype)
     x_target = jnp.asarray(x_target, dtype)
     w = (jnp.ones_like(x_target) if state_weight is None
@@ -464,12 +479,15 @@ def simulate_mppi(
 
         def body(c, u):            # u: (n_samples, u_dim)
             c = model(c, u)
-            return c, _stage_cost(get_state(c), u)
+            return c, _stage_cost(model_state(c), u)
 
         _, costs = jax.lax.scan(
-            body, _batched(carry), jnp.swapaxes(U_cand, 0, 1))
+            body, _batched(to_model(carry)), jnp.swapaxes(U_cand, 0, 1))
         S = jnp.mean(costs, axis=0)                      # (n_samples,)
-        wts = jax.nn.softmax(-(S - jnp.min(S)) / temperature)
+        # cast the weights to the plan dtype: a higher-precision planning
+        # model (e.g. an f64 lifted Koopman step) must not promote the
+        # carried plan (x64-scan-carry gotcha, CLAUDE.md)
+        wts = jax.nn.softmax(-(S - jnp.min(S)) / temperature).astype(dtype)
         U = jnp.clip(U + jnp.einsum("k,khr->hr", wts, eps),
                      -u_limit, u_limit)
         return U, S

@@ -296,6 +296,56 @@ def test_mpc_plans_on_model_executes_on_plant(plant):
     assert float(jnp.max(e)) <= 1.02 * e0
 
 
+def test_koopman_mppi_data_driven(plant, trim_eq):
+    """Koopman-MPPI: gradient-free receding-horizon planning on a purely
+    DATA-DRIVEN lifted model (EDMDc fitted to episodic plant data),
+    executed on the true nonlinear lag plant.  The sampled rollouts run
+    entirely in the lifted linear space (one GEMM per step over the
+    sample batch); each replan re-lifts the fresh plant state."""
+    _, _, step = plant
+    u_eq, _ = trim_eq
+    n_ep, T = 60, 100
+    kU, kX = jax.random.split(jax.random.PRNGKey(0))
+    U = jnp.clip(u_eq + 0.3 * jax.random.normal(kU, (n_ep, T, 8)), -1, 1)
+    x0s = 0.3 * jax.random.normal(kX, (n_ep, 12))
+
+    @jax.jit
+    def gen(x0, U):
+        def body(c, u):
+            c = step(c, u)
+            return c, c[0]
+
+        _, X = jax.lax.scan(body, (x0, jnp.zeros((8, 3))), U)
+        return X
+
+    Xs = jax.vmap(gen)(x0s, U)
+    model = koopman.fit_multi(jax.random.PRNGKey(1), list(Xs), list(U),
+                              n_rbfs=100, gamma=1.0, ridge=1e-6)
+    A, B = model.A, model.B
+
+    x0 = jnp.zeros(12).at[0].set(0.4).at[2].set(0.25).at[5].set(0.4)
+    e0 = float(jnp.linalg.norm(x0))
+    # horizon 50 beats 30 here DESPITE the lifted model's open-loop
+    # drift (~0.12 over 30 steps): the drift is small against the cost
+    # landscape's slope, and the myopia penalty dominates (measured:
+    # H=30 stalls at 0.54, H=50 settles at 0.16)
+    X, Uc = control.simulate_mppi(
+        step, x0, jnp.zeros(12), sim_steps=400, horizon=50,
+        n_samples=128, sigma=0.15, temperature=0.005, init_rounds=10,
+        effort_weight=1e-2, replan_rounds=4,
+        carry_init=lambda x: (x, jnp.zeros((8, 3), jnp.float32)),
+        get_state=lambda c: c[0],
+        model_step=lambda z, u: z @ A.T + u @ B.T,
+        model_carry=lambda c: koopman.lift(model, c[0]),
+        model_get_state=lambda z: z[..., :12],
+        key=jax.random.PRNGKey(2))
+    assert float(jnp.max(jnp.abs(Uc))) <= 1.0
+    ef = float(jnp.linalg.norm(X[-1]))
+    # measured 0.161 (26% of e0); sampling-noise + model-bias floor
+    assert ef < 0.35 * e0, (e0, ef)
+    assert float(jnp.max(jnp.abs(X[:, :3]))) < 2 * float(jnp.max(jnp.abs(x0)))
+
+
 def test_mppi_obstacle_indicator_cost(plant):
     """The capability gradient MPC cannot have: a DISCONTINUOUS
     inside-the-cylinder indicator penalty (zero gradient a.e. — Adam
