@@ -12,7 +12,9 @@ it, and the tank pipeline ingests the mocap topics verbatim,
    (``thrusters.effective_wrench_history`` — the lag depends only on the
    commands, so the 12-state filter never needs the 24 lag coordinates);
    ``--filter pf`` swaps in the bootstrap particle filter for heavy-noise
-   / non-Gaussian regimes (pair with ``--noise-scale``);
+   / non-Gaussian regimes (pair with ``--noise-scale``), ``--filter mhe``
+   the Huber moving-horizon estimator for impulsive-outlier regimes
+   (pair with ``--outlier-frac``);
 2. an EKF (exact ``jax.jacfwd`` Jacobians of the full Fossen wrench step,
    one ``lax.scan``) or UKF filters the recording; ``--smooth`` adds the
    RTS backward pass;
@@ -77,18 +79,40 @@ def build_parser():
                         "(T4 family) — filtered by the MULTIPLICATIVE EKF "
                         "(estimation.mekf_quat13: error-state on "
                         "R^3 x S^3 x R^6, quaternions stay exactly unit)")
-    g.add_argument("--filter", choices=("ekf", "ukf", "pf", "koopman"),
+    g.add_argument("--filter", choices=("ekf", "ukf", "pf", "mhe",
+                                        "koopman"),
                    default="ekf",
                    help="forward filter (ekf: exact jacfwd Jacobians; "
                         "ukf: sigma points, no Jacobians; pf: bootstrap "
                         "particle filter — a particle ensemble batched "
                         "through the full nonlinear step, no Gaussian "
-                        "posterior assumption; koopman: the "
+                        "posterior assumption; mhe: moving-horizon "
+                        "estimation — per-window optimization with an "
+                        "optional outlier-robust Huber penalty; koopman: "
+                        "the "
                         "exact linear KF on the lifted system of an EDMDc "
                         "model fitted to the training split — data-driven "
                         "filtering, no physics anywhere)")
     g.add_argument("--pf-particles", type=int, default=1024,
                    help="ensemble size for --filter pf")
+    g.add_argument("--mhe-window", type=int, default=20,
+                   help="--filter mhe: sliding window length")
+    g.add_argument("--mhe-iters", type=int, default=20,
+                   help="--filter mhe: Adam iterations per window from "
+                        "the shifted warm start (the first window gets "
+                        "20x this)")
+    g.add_argument("--mhe-meas-loss", choices=("quadratic", "huber"),
+                   default="huber",
+                   help="--filter mhe: measurement penalty — 'huber' "
+                        "saturates the influence of impulsive outliers "
+                        "(pair with --outlier-frac to demonstrate)")
+    g.add_argument("--outlier-frac", type=float, default=0.0,
+                   help="synthetic only: corrupt this fraction of sensor "
+                        "samples with impulsive +-(--outlier-sigma)-sigma "
+                        "glitches AFTER generation — the robustness regime "
+                        "--filter mhe --mhe-meas-loss huber is for")
+    g.add_argument("--outlier-sigma", type=float, default=50.0,
+                   help="outlier magnitude in per-channel sigmas")
     g.add_argument("--koopman-q", type=float, default=1e-6,
                    help="lifted-space process-noise scale for "
                         "--filter koopman")
@@ -386,6 +410,17 @@ def main(argv=None):
     # run (tens of seconds of tunnel compile+execute) before failing
     if args.smooth and args.filter != "ekf":
         raise SystemExit("--smooth composes with --filter ekf")
+    if args.filter == "mhe" and args.steps > 8000 and (
+            args.synthetic or args.csv is None):
+        raise SystemExit(
+            "--filter mhe runs iters x window sequential optimization "
+            "steps PER SAMPLE (~500x an EKF step): at >8000 rows the "
+            "single device execution exceeds the ~1 min tunnel crash "
+            "limit (CLAUDE.md).  Run a shorter --steps slice.")
+    if args.outlier_frac > 0.0 and not (args.synthetic or args.csv is None):
+        raise SystemExit("--outlier-frac corrupts SYNTHETIC sensors "
+                         "(real CSVs carry whatever glitches they "
+                         "carry); run with --synthetic")
     if args.filter == "koopman":
         if args.measure == "pose":
             raise SystemExit("--filter koopman needs --measure all (the "
@@ -414,6 +449,21 @@ def main(argv=None):
     X, U, X_true, t_stamps, dt, delay = _load(args)
     N = X.shape[0]
     info(f"Dataset: {N} rows @ dt={dt:.4f} (input delay {delay})")
+
+    if args.outlier_frac > 0.0:
+        rng_o = np.random.default_rng(args.seed + 1)
+        sig_groups = np.repeat(
+            np.asarray(args.r_scales, np.float64)
+            * (args.noise_scale if tuple(args.r_scales) == DEFAULT_R_SCALES
+               else 1.0), 3)
+        mask = rng_o.random(X.shape) < args.outlier_frac
+        X = X + np.where(
+            mask,
+            args.outlier_sigma * sig_groups
+            * np.sign(rng_o.standard_normal(X.shape)), 0.0
+        ).astype(X.dtype)
+        info(f"Injected impulsive outliers: {mask.mean():.1%} of samples "
+             f"at +-{args.outlier_sigma:g} sigma")
 
     record = {"n_rows": N, "dt": dt, "filter": args.filter}
 
@@ -536,9 +586,23 @@ def main(argv=None):
                 step, h, Q, R, m0, P0, TAU_trans, Y,
                 n_particles=args.pf_particles,
                 key=jax.random.PRNGKey(args.seed)),
+            "mhe": lambda: estimation.mhe(
+                step, h, Q, R, m0, P0, TAU_trans, Y,
+                window=args.mhe_window, iters=args.mhe_iters,
+                init_iters=20 * args.mhe_iters,
+                meas_loss=args.mhe_meas_loss),
         }[args.filter]
     res, cold, warm = time_fn_cold_warm(run_filter)
-    if args.filter == "pf":
+    if args.filter == "mhe":
+        diag_text = (f"{args.mhe_meas_loss} MHE, window {args.mhe_window} "
+                     f"x {args.mhe_iters} iters")
+        ok(f"MHE ({args.mhe_meas_loss}) over {N} steps: warm {warm:.4f} s "
+           f"(cold incl. compile {cold:.2f} s); final window cost "
+           f"{float(res.losses[-1]):.2f}")
+        record.update({"mhe_final_cost": float(res.losses[-1]),
+                       "meas_loss": args.mhe_meas_loss,
+                       "filter_warm_s": warm, "filter_cold_s": cold})
+    elif args.filter == "pf":
         # the PF's consistency diagnostic is the effective sample size,
         # not NIS (no Gaussian innovation anywhere)
         ess_mean = float(jnp.mean(res.ess))
@@ -579,10 +643,11 @@ def main(argv=None):
             rows["RTS smoothed"] = _group_rmse(np.asarray(sm.means), X_true)
         _print_rmse_table(rows)
         record["rmse_vs_truth"] = rows
-        ne = estimation.nees(res, jnp.asarray(X_true))
-        record["nees_mean"] = float(jnp.mean(ne[10:]))
-        info(f"mean NEES (post-transient): {record['nees_mean']:.2f} "
-             f"(chi^2 expectation 12)")
+        if hasattr(res, "covs"):
+            ne = estimation.nees(res, jnp.asarray(X_true))
+            record["nees_mean"] = float(jnp.mean(ne[10:]))
+            info(f"mean NEES (post-transient): {record['nees_mean']:.2f} "
+                 f"(chi^2 expectation 12)")
     else:
         info("No ground truth available (real CSV) — NIS/loglik are the "
              "consistency diagnostics.")

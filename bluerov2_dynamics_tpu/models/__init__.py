@@ -11,7 +11,7 @@
 * :mod:`pinc` — physics-informed residual network (flax/optax).
 * :mod:`sysid` — differentiable Fossen coefficient identification.
 * :mod:`control` — trim / LQR / Koopman-LQR / trajopt / MPC / MPPI.
-* :mod:`estimation` — KF / EKF / UKF / PF / RTS smoother / Koopman-KF.
+* :mod:`estimation` — KF / EKF / UKF / PF / MHE / RTS smoother / Koopman-KF.
 """
 
 from bluerov2_dynamics_tpu.models.params import (  # noqa: F401

@@ -30,6 +30,11 @@ with the estimators a differentiable model family gets for free:
   with systematic resampling inside the scan — the estimator that still
   works where EKF/UKF unimodality breaks (tested on a sign-ambiguous
   bimodal measurement);
+* :func:`mhe` — receding-horizon moving-horizon estimation: each
+  window re-optimizes an initial state + process-noise sequence through
+  the rollout scan (the estimation twin of ``control.simulate_mpc``,
+  one nested-scan XLA program), with an optional Huber measurement
+  penalty that shrugs off impulsive outliers the Kalman family cannot;
 * :func:`nees` — normalized estimation error squared against ground
   truth (filter-consistency diagnostic).
 
@@ -456,6 +461,173 @@ def particle_filter(
         loglik=ll0 + jnp.sum(lls),
         ess=jnp.concatenate([ess0[None], esss]),
     )
+
+
+class MHEResult(NamedTuple):
+    """Output of a receding-horizon MHE pass."""
+
+    means: jnp.ndarray    # (T, n) estimates (first window smoothed, then
+                          # each window's terminal state)
+    losses: jnp.ndarray   # (T - window + 1,) final cost per window
+
+
+def mhe(
+    step: Callable,
+    h: Callable,
+    Q,
+    R,
+    m0,
+    P0,
+    U,
+    Y,
+    window: int = 25,
+    iters: int = 20,
+    init_iters: int = 300,
+    lr: float = 0.05,
+    meas_loss: str = "quadratic",
+    huber_delta: float = 3.0,
+    residual: Optional[Callable] = None,
+) -> MHEResult:
+    """Moving-horizon estimation: optimization-based state estimation.
+
+    The estimation-side twin of
+    :func:`~bluerov2_dynamics_tpu.models.control.simulate_mpc`, built
+    from the same machinery: at each time step the last ``window``
+    measurements are explained by optimizing an initial state + a
+    process-noise sequence through the rollout scan (Adam,
+    ``value_and_grad``), warm-started by shifting the previous window's
+    solution; the window's terminal state is the estimate.  The WHOLE
+    receding pass — measurement loop x Adam x window rollout — compiles
+    to one nested-scan XLA program.
+
+    Cost (all residuals whitened by the Cholesky factors of
+    ``P0``/``Q``/``R``)::
+
+        0.5 ||x_0 - prior||^2_{P0^-1} + 0.5 sum_j ||w_j||^2_{Q^-1}
+            + sum_j rho( R^{-1/2} (y_j - h(x_j)) )
+
+    with ``x_{j+1} = step(x_j, u_j) + w_j``.  ``meas_loss="quadratic"``
+    (``rho = 0.5 z^2``) makes each window a nonlinear least-squares
+    smoother — on linear-Gaussian systems it tracks the exact KF up to
+    the crude arrival cost (tested).  **The capability the Kalman
+    family lacks**: ``meas_loss="huber"`` swaps in the Huber penalty on
+    the whitened innovations, which saturates the influence of
+    impulsive OUTLIERS that drag a quadratic filter off (the EKF's
+    update is linear in the innovation, so a 50-sigma glitch moves it
+    50x) — pinned by an outlier test where Huber-MHE beats the EKF ~5x.
+
+    Honest approximations (documented, standard): the arrival cost is
+    the "filtering prior" simplification — the previous window's
+    smoothed estimate at the new window start, weighted by the FIXED
+    ``P0`` (no covariance propagation), and each window runs a fixed
+    ``iters`` Adam steps from the shifted warm start rather than to
+    convergence.  Returns the first window's full smoothed states, then
+    one terminal estimate per subsequent window.
+    """
+    if meas_loss not in ("quadratic", "huber"):
+        raise ValueError(f"unknown meas_loss {meas_loss!r}")
+    import optax
+    from jax.scipy.linalg import solve_triangular
+
+    Q = jnp.asarray(Q)
+    R = jnp.asarray(R)
+    m0 = jnp.asarray(m0)
+    P0 = jnp.asarray(P0)
+    U = jnp.asarray(U)
+    Y = jnp.asarray(Y)
+    if Y.shape[0] != U.shape[0] + 1:
+        raise ValueError(
+            f"U must have T-1={Y.shape[0] - 1} rows (transition inputs), "
+            f"got {U.shape[0]}"
+        )
+    T = Y.shape[0]
+    W = int(window)
+    if not 2 <= W <= T:
+        raise ValueError(f"window must be in [2, T={T}], got {W}")
+    n = m0.shape[0]
+    Lq = jnp.linalg.cholesky(_sym(Q))
+    Lr = jnp.linalg.cholesky(_sym(R))
+    Lp = jnp.linalg.cholesky(_sym(P0))
+    h_batch = jax.vmap(h)
+
+    def rho(vw):
+        if meas_loss == "huber":
+            a = jnp.abs(vw)
+            return jnp.sum(jnp.where(
+                a <= huber_delta,
+                0.5 * a * a,
+                huber_delta * (a - 0.5 * huber_delta)))
+        return 0.5 * jnp.sum(vw * vw)
+
+    # Decision variables live in WHITENED coordinates (x0 = prior +
+    # Lp e0w, w_j = Lq ww_j): the regularizers become unit-scale
+    # 0.5||.||^2 regardless of how tight Q/P0 are — with raw variables a
+    # q=1e-6 process model puts a 1e6 curvature on w and first-order
+    # optimization stalls (measured: raw-coordinate MHE read 1.36 RMSE
+    # where the EKF reads 0.03; whitened matches the EKF).
+    def window_cost(theta, prior_mean, U_w, Y_w):
+        x0 = prior_mean + Lp @ theta["e0w"]
+        w_proc = theta["ww"] @ Lq.T                          # (W-1, n)
+
+        def body(x, inp):
+            u, w_j = inp
+            x = step(x, u) + w_j
+            return x, x
+
+        _, xs = jax.lax.scan(body, x0, (U_w, w_proc))
+        X_w = jnp.concatenate([x0[None], xs])                # (W, n)
+        y_pred = h_batch(X_w)
+        v = Y_w - y_pred if residual is None else residual(Y_w, y_pred)
+        vw = solve_triangular(Lr, v.T, lower=True).T
+        cost = (rho(vw) + 0.5 * jnp.sum(theta["ww"] ** 2)
+                + 0.5 * jnp.sum(theta["e0w"] ** 2))
+        return cost, X_w
+
+    opt = optax.adam(lr)
+
+    def optimize(theta, prior_mean, U_w, Y_w, n_iters):
+        def body(carry, _):
+            theta, s = carry
+            (loss, _), g = jax.value_and_grad(window_cost, has_aux=True)(
+                theta, prior_mean, U_w, Y_w)
+            upd, s = opt.update(g, s, theta)
+            return (optax.apply_updates(theta, upd), s), loss
+
+        (theta, _), losses = jax.lax.scan(
+            body, (theta, opt.init(theta)), None, length=n_iters)
+        return theta, losses
+
+    @jax.jit
+    def run(m0, U, Y):
+        theta0 = {"e0w": jnp.zeros(n, m0.dtype),
+                  "ww": jnp.zeros((W - 1, n), m0.dtype)}
+        theta, _ = optimize(theta0, m0, U[:W - 1], Y[:W], init_iters)
+        loss0, X0_w = window_cost(theta, m0, U[:W - 1], Y[:W])
+
+        def outer(carry, j):
+            theta, X_prev = carry
+            # shift the warm start: the previous window's smoothed state
+            # at the new window start becomes the arrival prior (e0w
+            # restarts at 0); the executed noise step drops off the front
+            prior_new = X_prev[1]
+            theta = {"e0w": jnp.zeros(n, m0.dtype),
+                     "ww": jnp.concatenate([theta["ww"][1:],
+                                            jnp.zeros((1, n), m0.dtype)])}
+            U_w = jax.lax.dynamic_slice_in_dim(U, j, W - 1)
+            Y_w = jax.lax.dynamic_slice_in_dim(Y, j, W)
+            theta, _ = optimize(theta, prior_new, U_w, Y_w, iters)
+            loss_f, X_w = window_cost(theta, prior_new, U_w, Y_w)
+            return (theta, X_w), (X_w[-1], loss_f)
+
+        if T == W:
+            return X0_w, loss0[None]
+        (_, _), (tail, losses) = jax.lax.scan(
+            outer, (theta, X0_w), jnp.arange(1, T - W + 1))
+        return (jnp.concatenate([X0_w, tail]),
+                jnp.concatenate([loss0[None], losses]))
+
+    means, losses = run(m0, U, Y)
+    return MHEResult(means=means, losses=losses)
 
 
 def kalman_filter(A, B, H, Q, R, m0, P0, U, Y) -> FilterResult:

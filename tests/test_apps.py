@@ -590,6 +590,32 @@ def test_estimate_app_particle_filter(tmp_path, capsys):
     assert (tmp_path / "media" / "estimate_channels_pf.png").exists()
 
 
+def test_estimate_app_mhe_huber_outliers(tmp_path, capsys):
+    """--filter mhe --outlier-frac: impulsive 50-sigma glitches on 3% of
+    samples; the Huber moving-horizon estimator shrugs them off (the
+    EKF-vs-MHE comparison at full strength is pinned in
+    tests/test_estimation.py)."""
+    from bluerov2_dynamics_tpu.apps import estimate
+
+    rec = estimate.main([
+        "--synthetic", "--recording", "--steps", "600",
+        "--outlier-frac", "0.03", "--q", "1e-4",
+        "--filter", "mhe", "--mhe-window", "15", "--mhe-iters", "15",
+        "--no-media",
+    ])
+    rows = rec["rmse_vs_truth"]
+    # measured 0.0037 vs raw 0.0133 (3.7x); q=1e-4 absorbs the
+    # recording's +-10% coefficient mismatch (same lesson as the PF)
+    assert rows["MHE"]["all"] < 0.45 * rows["raw sensor"]["all"]
+    assert rec["meas_loss"] == "huber"
+    assert "Injected impulsive outliers" in capsys.readouterr().out
+    with pytest.raises(SystemExit, match="crash limit"):
+        estimate.main(["--synthetic", "--steps", "9000", "--filter", "mhe"])
+    with pytest.raises(SystemExit, match="synthetic"):
+        estimate.main(["--csv", "/nonexistent.csv",
+                       "--outlier-frac", "0.1"])
+
+
 def test_estimate_app_validation_errors(tmp_path):
     from bluerov2_dynamics_tpu.apps import estimate
 

@@ -658,6 +658,67 @@ def test_manifold_rts_quat13_beats_filter(quat_fossen_case):
 
 
 # ---------------------------------------------------------------------------
+# Moving-horizon estimation
+# ---------------------------------------------------------------------------
+
+def test_mhe_tracks_kf_on_linear(linear_case):
+    """On a linear-Gaussian system with quadratic losses, each MHE window
+    is a least-squares smoother: the receding terminal estimates track
+    the exact KF up to the crude (fixed-P0) arrival cost."""
+    A, B, H, Q, R, m0, P0, X, U, Y = linear_case
+    kf = estimation.kalman_filter(A, B, H, Q, R, m0, P0, U, Y)
+    res = estimation.mhe(
+        lambda x, u: jnp.asarray(A) @ x + jnp.asarray(B) @ u,
+        lambda x: jnp.asarray(H) @ x,
+        Q, R, m0, P0, U, Y, window=20, iters=40, init_iters=400, lr=0.05)
+    assert res.means.shape == kf.means.shape
+    assert np.all(np.isfinite(np.asarray(res.losses)))
+    d = np.asarray(res.means)[20:] - np.asarray(kf.means)[20:]
+    scale = np.sqrt(np.mean(np.asarray(kf.means) ** 2))
+    # measured 0.047 vs scale 0.46 (10%); margin 2x
+    assert np.sqrt(np.mean(d ** 2)) < 0.2 * scale
+    # and it estimates the truth about as well as the KF (measured
+    # 0.207 vs 0.198)
+    assert _rmse(res.means, X) < 1.15 * _rmse(kf.means, X)
+
+
+def test_mhe_huber_rejects_outliers(fossen_case):
+    """The capability the Kalman family lacks: 3% impulsive 50-sigma
+    sensor glitches drag the EKF (its update is LINEAR in the
+    innovation); Huber-MHE saturates their influence and lands an order
+    of magnitude closer to the truth."""
+    step, Q, R, m0, P0, U, Y, X_true, sigma = fossen_case
+    ko = jax.random.PRNGKey(17)
+    mask = jax.random.uniform(ko, Y.shape) < 0.03
+    Y_o = jnp.where(
+        mask,
+        Y + 50.0 * sigma * jnp.sign(
+            jax.random.normal(jax.random.fold_in(ko, 1), Y.shape)),
+        Y)
+    ek = estimation.ekf(step, lambda x: x, Q, R, m0, P0, U, Y_o)
+    hub = estimation.mhe(step, lambda x: x, Q, R, m0, P0, U, Y_o,
+                         window=20, iters=40, init_iters=400, lr=0.05,
+                         meas_loss="huber")
+    e_ekf = _rmse(ek.means, X_true)
+    e_hub = _rmse(hub.means, X_true)
+    # measured: raw 0.137, EKF 0.0291, huber-MHE 0.0033 (8.7x)
+    assert e_hub < 0.25 * e_ekf, (e_ekf, e_hub)
+    assert e_hub < 0.05 * _rmse(Y_o, X_true)
+
+
+def test_mhe_validation_errors(linear_case):
+    A, B, H, Q, R, m0, P0, X, U, Y = linear_case
+    step = lambda x, u: x
+    hf = lambda x: jnp.asarray(H) @ x
+    with pytest.raises(ValueError, match="meas_loss"):
+        estimation.mhe(step, hf, Q, R, m0, P0, U, Y, meas_loss="l1")
+    with pytest.raises(ValueError, match="window"):
+        estimation.mhe(step, hf, Q, R, m0, P0, U, Y, window=1)
+    with pytest.raises(ValueError, match="transition inputs"):
+        estimation.mhe(step, hf, Q, R, m0, P0, U[:-2], Y)
+
+
+# ---------------------------------------------------------------------------
 # Particle filter
 # ---------------------------------------------------------------------------
 
