@@ -410,13 +410,16 @@ def main(argv=None):
     # run (tens of seconds of tunnel compile+execute) before failing
     if args.smooth and args.filter != "ekf":
         raise SystemExit("--smooth composes with --filter ekf")
-    if args.filter == "mhe" and args.steps > 8000 and (
+    if args.filter == "mhe" and args.steps > 800 and (
             args.synthetic or args.csv is None):
         raise SystemExit(
             "--filter mhe runs iters x window sequential optimization "
-            "steps PER SAMPLE (~500x an EKF step): at >8000 rows the "
-            "single device execution exceeds the ~1 min tunnel crash "
-            "limit (CLAUDE.md).  Run a shorter --steps slice.")
+            "steps PER SAMPLE — measured ~54 ms/row on the tunneled TPU "
+            "(latency-bound; the receding scan gains nothing from the "
+            "chip), so >800 rows exceeds the ~1 min single-execution "
+            "crash limit (measured: 1500 rows = ~80 s crashed the "
+            "worker).  Run a shorter --steps slice, or vmap mhe over "
+            "estimation.segment_trajectory segments for long records.")
     if args.outlier_frac > 0.0 and not (args.synthetic or args.csv is None):
         raise SystemExit("--outlier-frac corrupts SYNTHETIC sensors "
                          "(real CSVs carry whatever glitches they "
