@@ -491,8 +491,8 @@ def mhe(
     """Moving-horizon estimation: optimization-based state estimation.
 
     The estimation-side twin of
-    :func:`~bluerov2_dynamics_tpu.models.control.simulate_mpc`, built
-    from the same machinery: at each time step the last ``window``
+    :func:`~bluerov2_dynamics_tpu.models.control.simulate_mpc`, built on
+    the same machinery: at each time step the last ``window``
     measurements are explained by optimizing an initial state + a
     process-noise sequence through the rollout scan (Adam,
     ``value_and_grad``), warm-started by shifting the previous window's
