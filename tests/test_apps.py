@@ -570,6 +570,26 @@ def test_control_demo_mppi_task(tmp_path, capsys, monkeypatch):
     assert (tmp_path / "media" / "control_demo_mppi_2D.png").exists()
 
 
+def test_control_demo_ilqr_task(tmp_path, capsys, monkeypatch):
+    """iLQR task smoke run (short horizon): plans, executes under the
+    unseen current with and without the time-varying gains, writes the
+    three-trajectory figure.  The disturbance-rejection CLAIM is pinned at
+    full scale in tests/test_control.py::test_tvlqr_rejects_unseen_current."""
+    from bluerov2_dynamics_tpu.apps import control_demo
+
+    orig = control_demo.run_ilqr
+    monkeypatch.setattr(control_demo, "run_ilqr",
+                        lambda: orig(horizon=120, iters=6))
+    out = control_demo.main(["ilqr", "--media-dir", str(tmp_path / "media")])
+    text = capsys.readouterr().out
+    assert "open-loop replay misses" in text
+    rec = out["ilqr"]
+    assert rec["U"].shape == (120, 8)
+    assert np.isfinite(rec["feedback_error"])
+    assert rec["feedback_error"] < rec["open_loop_error"]
+    assert (tmp_path / "media" / "control_demo_ilqr_2D.png").exists()
+
+
 def test_estimate_app_particle_filter(tmp_path, capsys):
     """--filter pf: the bootstrap PF beats the raw sensors on the pseudo
     recording and reports its ESS diagnostic; the figure gets a
