@@ -74,6 +74,16 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                     default=[0.5, 1.0, 3.0, 10.0])
     ap.add_argument("--sweep-ridges", type=float, nargs="+",
                     default=[1e-3, 1e-2, 1e-1])
+    ap.add_argument("--streaming-chunk", type=int, default=None,
+                    help="fit the Koopman model through the streaming "
+                         "sufficient-statistics accumulator in chunks of "
+                         "this many rows (koopman.fit_streaming — the "
+                         "online/deployment fit path; equals the batch fit "
+                         "at --forgetting 1)")
+    ap.add_argument("--forgetting", type=float, default=1.0,
+                    help="exponential forgetting factor for "
+                         "--streaming-chunk (RLS memory ~1/(1-lam) pairs; "
+                         "<1 tracks plant drift within the recording)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--extra-csv", nargs="*", default=[],
                     help="additional recording CSVs used as extra TRAINING "
@@ -282,6 +292,12 @@ def fit_koopman_from_args(args, key, X_tr, U_tr, loader: Callable = None):
                 "--extra-csv fits via koopman.fit_multi, which does not "
                 "support --sweep; drop one of the flags."
             )
+        if getattr(args, "streaming_chunk", None):
+            raise SystemExit(
+                "--extra-csv fits via koopman.fit_multi, which does not "
+                "support --streaming-chunk (a stream has one contiguous "
+                "recording); drop one of the flags."
+            )
         if loader is None:
             loader = csv_loader.load_thruster_dataset
         extras = [loader(p) for p in extra]
@@ -294,6 +310,27 @@ def fit_koopman_from_args(args, key, X_tr, U_tr, loader: Callable = None):
                 key, X_list, U_list,
                 n_rbfs=args.n_rbfs, gamma=args.gamma, ridge=args.ridge,
                 position_invariant=pi,
+            )
+        )
+    chunk = getattr(args, "streaming_chunk", None)
+    if chunk:
+        if getattr(args, "sweep", False):
+            raise SystemExit(
+                "--streaming-chunk fits via koopman.fit_streaming, which "
+                "does not support --sweep; drop one of the flags."
+            )
+        lam = float(getattr(args, "forgetting", 1.0))
+        if not (0.0 < lam <= 1.0):
+            raise SystemExit(f"--forgetting must be in (0, 1], got {lam}")
+        n_chunks = -(-max(len(X_tr), 1) // chunk)
+        mem = "full history" if lam == 1.0 else f"~{1.0 / (1.0 - lam):.0f} pairs"
+        info(f"Streaming fit: {n_chunks} chunks of {chunk} rows, "
+             f"forgetting {lam:g} (RLS memory {mem})")
+        return time_fn_cold_warm(
+            lambda: koopman.fit_streaming(
+                key, X_tr, U_tr,
+                n_rbfs=args.n_rbfs, gamma=args.gamma, ridge=args.ridge,
+                chunk=chunk, position_invariant=pi, forgetting=lam,
             )
         )
     if not getattr(args, "sweep", False):

@@ -198,6 +198,229 @@ def fit_decoder(model: KoopmanModel, X, ridge: float = 1e-6) -> KoopmanModel:
 
 
 # ---------------------------------------------------------------------------
+# Streaming / recursive fit (TPU-native extension)
+# ---------------------------------------------------------------------------
+#
+# The reference refits from scratch on every run (``koopmanEDMDc.py:72-103``
+# — a batch normal-equation solve).  For deployment the natural form is the
+# SUFFICIENT-STATISTICS factorisation of the same solve: the ridge solution
+# depends on the data only through ``gram = G^T G`` and ``rhs = G^T Z+``,
+# which accumulate over chunks as two GEMMs per chunk — so the model can be
+# updated online from a live telemetry stream and re-solved at any time for
+# the cost of one (d+r)^2 Cholesky.  An exponential forgetting factor
+# ``lam`` turns the accumulator into recursive least squares (each pair's
+# weight decays as lam^age), letting the model track slow plant changes
+# (biofouling drag, payload swaps, trim shifts) that a batch fit averages
+# away.  With ``lam=1`` and the same pairs, ``streaming_finalize`` is
+# EXACTLY the batch :func:`fit` solve (tests pin f64 agreement).
+#
+# TPU shape notes: the per-chunk update is two HIGHEST-precision GEMMs over
+# the chunk (MXU work growing with chunk size, constant-size state), and
+# ``streaming_scan`` runs the whole chunk sequence as one ``lax.scan`` —
+# no per-chunk dispatch.  Centers stay fixed (choose them on a calibration
+# segment via k-means, or reuse a prior model's); only (A, B) adapt.
+
+
+class KoopmanStats(NamedTuple):
+    """Sufficient statistics of the EDMDc ridge solve, accumulated online.
+
+    ``prev_z``/``prev_u``/``prev_valid`` carry the last lifted sample across
+    chunk boundaries so an arbitrary chunking of a contiguous recording
+    yields exactly the batch fit's snapshot pairs (no boundary pair lost).
+    ``weight_sum`` is the effective number of pairs (sum of forgetting
+    weights) — the adaptation memory is ``~1/(1-lam)`` pairs.
+    """
+
+    centers: jnp.ndarray              # (k, n)
+    gamma: jnp.ndarray                # scalar
+    gram: jnp.ndarray                 # (d+r, d+r) = sum w_i g_i g_i^T
+    rhs: jnp.ndarray                  # (d+r, d)   = sum w_i g_i z+_i^T
+    weight_sum: jnp.ndarray           # scalar
+    prev_z: jnp.ndarray               # (d,) lifted last sample seen
+    prev_u: jnp.ndarray               # (r,) input at that sample
+    prev_valid: jnp.ndarray           # scalar 0/1
+    rbf_weights: Optional[jnp.ndarray] = None  # (n,) or None
+
+    @property
+    def state_dim(self) -> int:
+        return self.centers.shape[1]
+
+    @property
+    def lift_dim(self) -> int:
+        return self.rhs.shape[1]
+
+    @property
+    def input_dim(self) -> int:
+        return self.rhs.shape[0] - self.rhs.shape[1]
+
+
+def streaming_init(centers, gamma, input_dim: int,
+                   rbf_weights=None, dtype=jnp.float32) -> KoopmanStats:
+    """Empty accumulator for a fixed dictionary.
+
+    ``centers`` may come from :func:`..ops.kmeans.kmeans` on a calibration
+    segment or from an existing :class:`KoopmanModel` (``model.centers``,
+    ``model.rbf_weights``).
+    """
+    centers = jnp.asarray(centers, dtype)
+    k, n = centers.shape
+    d = n + k
+    return KoopmanStats(
+        centers=centers,
+        gamma=jnp.asarray(gamma, dtype),
+        gram=jnp.zeros((d + input_dim, d + input_dim), dtype),
+        rhs=jnp.zeros((d + input_dim, d), dtype),
+        weight_sum=jnp.zeros((), dtype),
+        prev_z=jnp.zeros((d,), dtype),
+        prev_u=jnp.zeros((input_dim,), dtype),
+        prev_valid=jnp.zeros((), dtype),
+        rbf_weights=(None if rbf_weights is None
+                     else jnp.asarray(rbf_weights, dtype)),
+    )
+
+
+@jax.jit
+def streaming_update(stats: KoopmanStats, X, U,
+                     forgetting=1.0) -> KoopmanStats:
+    """Absorb a contiguous chunk ``X`` (N, n), ``U`` (N, r) into the stats.
+
+    The chunk contributes its N-1 internal snapshot pairs plus (when a
+    previous chunk has been seen) the boundary pair (prev -> X[0]).  With
+    ``forgetting < 1`` every pair already absorbed decays by
+    ``forgetting^m`` (m = pairs added here) and the new pairs enter with
+    weights ``forgetting^age`` (newest pair weight 1) — standard
+    exponentially-weighted RLS, evaluated chunk-at-a-time as two GEMMs.
+    """
+    X = jnp.asarray(X, stats.gram.dtype)
+    U = jnp.asarray(U, stats.gram.dtype)
+    N = X.shape[0]
+    lam = jnp.asarray(forgetting, stats.gram.dtype)
+    Z_all = rbf_lift(X, stats.centers, stats.gamma, stats.rbf_weights)
+    # Row 0 = boundary pair (prev -> X[0]), rows 1.. = internal pairs.
+    G = jnp.concatenate([
+        jnp.concatenate([stats.prev_z, stats.prev_u])[None],
+        jnp.concatenate([Z_all[:-1], U[:-1]], axis=1),
+    ], axis=0)                                   # (N, d+r)
+    Y = Z_all                                    # (N, d)
+    # Pair ages within this update: row i is the (N-1-i)-th newest; the
+    # boundary row's exponent is correct whether or not it is valid (it is
+    # masked to weight 0 when invalid, and the remaining pairs' ages are
+    # unchanged by its absence — see the m accounting below).
+    ages = jnp.arange(N - 1, -1, -1, dtype=stats.gram.dtype)
+    valid = jnp.ones((N,), stats.gram.dtype).at[0].set(stats.prev_valid)
+    w = valid * lam ** ages                      # (N,)
+    sw = jnp.sqrt(w)[:, None]
+    Gw = G * sw
+    Yw = Y * sw
+    m = (N - 1) + stats.prev_valid               # pairs added this update
+    decay = lam ** m
+    with jax.default_matmul_precision("highest"):
+        gram = decay * stats.gram + Gw.T @ Gw
+        rhs = decay * stats.rhs + Gw.T @ Yw
+    return stats._replace(
+        gram=gram,
+        rhs=rhs,
+        weight_sum=decay * stats.weight_sum + jnp.sum(w),
+        prev_z=Z_all[-1],
+        prev_u=U[-1],
+        prev_valid=jnp.ones((), stats.gram.dtype),
+    )
+
+
+@partial(jax.jit, static_argnums=(3,))
+def streaming_scan(stats: KoopmanStats, X, U, chunk: int,
+                   forgetting=1.0) -> KoopmanStats:
+    """Feed a long contiguous recording through :func:`streaming_update`
+    in equal ``chunk``-sized pieces as ONE ``lax.scan`` program (no
+    per-chunk dispatch).  Trailing samples that do not fill a chunk are
+    absorbed by a final unscanned update.  Equivalent to calling
+    :func:`streaming_update` once on the whole recording when
+    ``forgetting=1`` (and to the chunked calls for any ``forgetting``).
+    """
+    N = X.shape[0]
+    n_chunks = N // chunk
+    X = jnp.asarray(X, stats.gram.dtype)
+    U = jnp.asarray(U, stats.gram.dtype)
+    lam = jnp.asarray(forgetting, stats.gram.dtype)
+    if n_chunks > 0:
+        Xc = X[: n_chunks * chunk].reshape(n_chunks, chunk, -1)
+        Uc = U[: n_chunks * chunk].reshape(n_chunks, chunk, -1)
+
+        def body(s, xu):
+            return streaming_update(s, xu[0], xu[1], lam), None
+
+        stats, _ = jax.lax.scan(body, stats, (Xc, Uc))
+    if N > n_chunks * chunk:
+        stats = streaming_update(stats, X[n_chunks * chunk:],
+                                 U[n_chunks * chunk:], lam)
+    return stats
+
+
+@jax.jit
+def streaming_finalize(stats: KoopmanStats, ridge=1e-8) -> KoopmanModel:
+    """Solve the accumulated normal equations into a :class:`KoopmanModel`.
+
+    With ``forgetting=1`` this is EXACTLY the batch :func:`fit` solve on
+    the same pairs (``ridge`` is the same absolute Tikhonov weight).  With
+    forgetting, ``ridge`` acts against the decayed Gram — if the stream is
+    long-lived and ``lam`` close to 1, the Gram scale is ``~weight_sum``;
+    scale ``ridge`` accordingly if matching a batch fit's regularisation
+    strength matters.
+    """
+    d = stats.lift_dim
+    ridge = jnp.asarray(ridge, stats.gram.dtype)
+    gram = stats.gram + ridge * jnp.eye(stats.gram.shape[0],
+                                        dtype=stats.gram.dtype)
+    M = jax.scipy.linalg.solve(gram, stats.rhs, assume_a="pos")
+    return KoopmanModel(
+        centers=stats.centers,
+        gamma=stats.gamma,
+        A=M[:d].T,
+        B=M[d:].T,
+        rbf_weights=stats.rbf_weights,
+    )
+
+
+@partial(jax.jit, static_argnums=(3, 6, 7, 8))
+def fit_streaming(
+    key,
+    X,
+    U,
+    n_rbfs: int = 200,
+    gamma: float = 1.0,
+    ridge: float = 1e-8,
+    chunk: int = 1024,
+    kmeans_iters: int = 25,
+    position_invariant: bool = False,
+    forgetting: float = 1.0,
+) -> KoopmanModel:
+    """:func:`fit` through the streaming accumulator: k-means centers on
+    the full state cloud, then :func:`streaming_scan` over ``chunk``-sized
+    pieces and one :func:`streaming_finalize` solve.
+
+    With ``forgetting=1`` this equals the batch :func:`fit` (identical
+    centers and pairs; the Gram accumulates chunk-by-chunk instead of as
+    one GEMM, so results agree to solve-amplified roundoff, not
+    bit-for-bit — f64 to 1e-7 rel, f32 to ~1% in downstream H-metrics on
+    ill-conditioned dictionaries).  With
+    ``forgetting < 1`` the newest pairs dominate (RLS memory
+    ``~1/(1-forgetting)`` pairs) — the model tracks plant drift within
+    the recording instead of averaging over it.
+    """
+    weights = None
+    if position_invariant:
+        weights = jnp.ones(X.shape[1], X.dtype).at[:3].set(0.0)
+        X_cl = X * weights
+    else:
+        X_cl = X
+    centers, _ = kmeans(key, X_cl, n_rbfs, iters=kmeans_iters)
+    stats = streaming_init(centers, gamma, input_dim=U.shape[1],
+                           rbf_weights=weights, dtype=X.dtype)
+    stats = streaming_scan(stats, X, U, chunk, forgetting)
+    return streaming_finalize(stats, ridge)
+
+
+# ---------------------------------------------------------------------------
 # Persistence (extension: the reference refits every run; SURVEY §5 calls
 # out checkpointing the deterministic Koopman fit as the TPU equivalent of
 # its torch save/load flow)

@@ -449,3 +449,140 @@ def test_select_best_nan_robust(rng):
     assert np.isnan(np.asarray(rmses)[0]) and np.isfinite(np.asarray(rmses)[1])
     assert float(combo[1]) == 1e-1          # the finite combo won
     assert np.all(np.isfinite(np.asarray(best.A)))
+
+
+# ------------------------------ streaming fit ------------------------------
+
+def _sim_linear(rng, M, Bm, x0, U):
+    """Host oracle: x_{k+1} = x_k @ M.T + u_k @ Bm.T, returns (N, n)."""
+    X = [x0]
+    for u in U[:-1]:
+        X.append(X[-1] @ M.T + u @ Bm.T)
+    return np.stack(X)
+
+
+def test_streaming_finalize_matches_batch_fit(rng):
+    """lam=1 streaming over arbitrary chunks == the batch fit solve."""
+    X = jnp.asarray(rng.normal(size=(120, 3)) * 0.5)
+    U = jnp.asarray(rng.normal(size=(120, 2)))
+    key = jax.random.PRNGKey(0)
+    batch = koopman.fit(key, X, U, n_rbfs=6, gamma=0.7, ridge=1e-6)
+
+    stats = koopman.streaming_init(batch.centers, batch.gamma, input_dim=2,
+                                   dtype=X.dtype)
+    for lo, hi in [(0, 17), (17, 18), (18, 63), (63, 120)]:
+        stats = koopman.streaming_update(stats, X[lo:hi], U[lo:hi])
+    model = koopman.streaming_finalize(stats, ridge=1e-6)
+    np.testing.assert_allclose(np.asarray(model.A), np.asarray(batch.A),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(model.B), np.asarray(batch.B),
+                               rtol=1e-7, atol=1e-10)
+    assert float(stats.weight_sum) == 119.0  # N-1 pairs, all weight 1
+
+
+def test_streaming_chunking_invariance(rng):
+    """gram/rhs are invariant to the chunk split (boundary pairs carried),
+    and streaming_scan equals manual equal-chunk updates for lam < 1."""
+    X = jnp.asarray(rng.normal(size=(61, 3)))
+    U = jnp.asarray(rng.normal(size=(61, 2)))
+    centers = jnp.asarray(rng.normal(size=(5, 3)))
+    lam = 0.95
+
+    def run(splits):
+        s = koopman.streaming_init(centers, 0.5, input_dim=2, dtype=X.dtype)
+        lo = 0
+        for hi in splits + [61]:
+            s = koopman.streaming_update(s, X[lo:hi], U[lo:hi], lam)
+            lo = hi
+        return s
+
+    a = run([9, 10, 40])
+    b = run([30])
+    np.testing.assert_allclose(np.asarray(a.gram), np.asarray(b.gram),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(a.rhs), np.asarray(b.rhs),
+                               rtol=1e-10)
+    np.testing.assert_allclose(float(a.weight_sum), float(b.weight_sum),
+                               rtol=1e-12)
+
+    s0 = koopman.streaming_init(centers, 0.5, input_dim=2, dtype=X.dtype)
+    c = koopman.streaming_scan(s0, X, U, chunk=8, forgetting=lam)  # 7 chunks + tail 5
+    np.testing.assert_allclose(np.asarray(c.gram), np.asarray(a.gram),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(c.rhs), np.asarray(a.rhs),
+                               rtol=1e-10)
+
+
+def test_streaming_forgetting_weights_exact(rng):
+    """Hand-computed exponentially-weighted gram on a tiny stream."""
+    from bluerov2_dynamics_tpu.ops.lifting import rbf_lift
+
+    X = jnp.asarray(rng.normal(size=(5, 2)))
+    U = jnp.asarray(rng.normal(size=(5, 1)))
+    centers = jnp.asarray(rng.normal(size=(3, 2)))
+    gamma, lam = 0.8, 0.9
+
+    s = koopman.streaming_init(centers, gamma, input_dim=1, dtype=X.dtype)
+    s = koopman.streaming_update(s, X[:3], U[:3], lam)   # pairs (0,1),(1,2)
+    s = koopman.streaming_update(s, X[3:], U[3:], lam)   # pairs (2,3),(3,4)
+
+    Z = np.asarray(rbf_lift(X, centers, gamma))
+    G = np.concatenate([Z[:-1], np.asarray(U[:-1])], axis=1)  # (4, d+r)
+    Y = Z[1:]
+    w = np.array([lam ** 3, lam ** 2, lam, 1.0])  # oldest pair decays most
+    gram = (G * w[:, None]).T @ G
+    rhs = (G * w[:, None]).T @ Y
+    np.testing.assert_allclose(np.asarray(s.gram), gram, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(s.rhs), rhs, rtol=1e-9)
+    np.testing.assert_allclose(float(s.weight_sum), w.sum(), rtol=1e-12)
+
+
+def test_streaming_forgetting_tracks_regime_change(rng):
+    """After a plant change, an RLS-forgetting model beats the full-history
+    fit on the new regime (the capability's reason to exist)."""
+    n, r, N = 3, 2, 600
+
+    def stable(raw):  # contractive regime matrix (spectral radius 0.9)
+        return 0.9 * raw / np.abs(np.linalg.eigvals(raw)).max()
+
+    M1 = stable(np.eye(n) + 0.3 * rng.normal(size=(n, n)))
+    M2 = stable(np.eye(n) - 0.5 * rng.normal(size=(n, n)))
+    Bm = 0.2 * rng.normal(size=(n, r))
+    U = 0.5 * rng.normal(size=(N, r))
+    X1 = _sim_linear(rng, M1, Bm, 0.1 * rng.normal(size=n), U[:300])
+    X2 = _sim_linear(rng, M2, Bm, X1[-1] @ M2.T + U[299] @ Bm.T, U[300:])
+    X = jnp.asarray(np.concatenate([X1, X2]))
+    Uj = jnp.asarray(U)
+
+    key = jax.random.PRNGKey(1)
+    centers, _ = kmeans(key, X, 8, iters=10)
+    init = koopman.streaming_init(centers, 0.5, input_dim=r, dtype=X.dtype)
+    models = {}
+    for lam in (1.0, 0.97):
+        s = koopman.streaming_scan(init, X, Uj, chunk=50, forgetting=lam)
+        models[lam] = koopman.streaming_finalize(s, ridge=1e-8)
+    tail = slice(480, 600)
+    err_full = float(koopman.evaluate(models[1.0], X[tail], Uj[tail]))
+    err_rls = float(koopman.evaluate(models[0.97], X[tail], Uj[tail]))
+    assert err_rls < 0.5 * err_full, (err_rls, err_full)
+
+
+def test_fit_streaming_equals_batch_fit(rng):
+    """fit_streaming at forgetting=1 reproduces fit (same k-means, same
+    pairs; Gram accumulated chunkwise instead of one GEMM)."""
+    X = jnp.asarray(rng.normal(size=(300, 3)) * 0.5)
+    U = jnp.asarray(rng.normal(size=(300, 2)))
+    key = jax.random.PRNGKey(3)
+    batch = koopman.fit(key, X, U, n_rbfs=6, gamma=0.7, ridge=1e-5)
+    stream = koopman.fit_streaming(key, X, U, n_rbfs=6, gamma=0.7,
+                                   ridge=1e-5, chunk=64)
+    np.testing.assert_allclose(np.asarray(stream.A), np.asarray(batch.A),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(stream.B), np.asarray(batch.B),
+                               rtol=1e-7, atol=1e-10)
+    # position-invariant path carries the mask through the accumulator
+    pi = koopman.fit_streaming(key, X, U, n_rbfs=6, gamma=0.7, ridge=1e-5,
+                               chunk=64, position_invariant=True)
+    assert pi.rbf_weights is not None
+    err = float(koopman.evaluate(pi, X, U))
+    assert np.isfinite(err)
