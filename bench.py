@@ -1145,6 +1145,57 @@ def run_full(only: str | None = None):
         rows.append((f"pf_{NP}x{TP}_particle_steps_per_sec", sps_p,
                      f"particle-steps/s ({warm_p:.3f} s/call)", None))
 
+    def sec_streaming():
+        # Online absorption rate of the streaming Koopman accumulator
+        # (models/koopman.py:streaming_scan) at the tank dictionary shape
+        # (d = 512 lift, r = 8): how fast live telemetry can be folded
+        # into the sufficient statistics, vs the 50 Hz recording rate.
+        X, U = dataset()
+        model = fitted_model()  # same dictionary as the batch fit rows
+        Xs, Us = X[:split], U[:split]
+        stats0 = koopman.streaming_init(model.centers, model.gamma,
+                                        input_dim=8)
+        n_pairs = split - 1
+
+        @jax.jit
+        def absorb(Xc):
+            s = koopman.streaming_scan(stats0, Xc, Us, 1024,
+                                       forgetting=0.9995)
+            return Xc.at[0, 0].add(1e-20 * s.gram[0, 0])
+
+        pps, warm = chained_steps_per_sec(absorb, Xs, n_pairs, 3)
+        rows.append(("koopman_streaming_absorb_pairs_per_sec", pps,
+                     f"pairs/s ({warm:.3f} s per {split}-row pass; "
+                     f"{pps / 50.0:.0f}x the 50 Hz recording rate)", None))
+
+        # re-solve latency: one (520, 520) Cholesky over the accumulator
+        stats = jax.block_until_ready(
+            koopman.streaming_scan(stats0, Xs, Us, 1024))
+
+        @jax.jit
+        def resolve(g):
+            m = koopman.streaming_finalize(stats._replace(gram=g),
+                                           ridge=1e-1)
+            return g.at[0, 0].add(1e-20 * m.A[0, 0])
+
+        _, warm_f = chained_steps_per_sec(resolve, stats.gram, 1, 10)
+        rows.append(("koopman_streaming_resolve_seconds", warm_f,
+                     "s/call (chained)", None))
+
+        # honesty row: the streamed solve vs the batch fit it refactors —
+        # same centers and pairs, chunked f32 Gram accumulation; report
+        # the H=100 metric disagreement (expected ~1e-3..1e-2 rel from
+        # solve-amplified reassociation on this ill-conditioned
+        # dictionary; the f64 identity is pinned by tests)
+        streamed = koopman.streaming_finalize(stats, ridge=1e-1)
+        r_batch = float(koopman.multistep_rmse(model, X[split:],
+                                               U[split:], 100))
+        r_stream = float(koopman.multistep_rmse(streamed, X[split:],
+                                                U[split:], 100))
+        rows.append(("koopman_streaming_vs_batch_h100_rel_agreement",
+                     abs(r_stream - r_batch) / max(r_batch, 1e-30),
+                     "rel", None))
+
     # window_blocks is a ~12-minute 30-compile tuning sweep: kept out of
     # the default --full pass (its result is a committed DEFAULT, not a
     # per-round measurement); rerun explicitly when retuning.
@@ -1159,6 +1210,7 @@ def run_full(only: str | None = None):
         "mxu": sec_mxu,
         "numerics_guard": sec_numerics_guard,
         "estimation": sec_estimation,
+        "streaming": sec_streaming,
         "ingest": sec_ingest,
     }
     if only is not None and only not in sections:
