@@ -10,5 +10,6 @@ from bluerov2_dynamics_tpu.parallel.sharded import (  # noqa: F401
     sharded_koopman_fit,
     sharded_koopman_multistep_rmse,
     sharded_rollout_final,
+    sharded_streaming_stats,
     shardmap_endpoint_rmse,
 )

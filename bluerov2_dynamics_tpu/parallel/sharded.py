@@ -423,6 +423,106 @@ def sharded_koopman_fit(
     return run(key, n_rbfs, X, U)
 
 
+def sharded_streaming_stats(
+    mesh: Mesh,
+    stats0,
+    X,
+    U,
+    chunk: int = 1024,
+    forgetting: float = 1.0,
+    data_axis: str = "data",
+):
+    """Accumulate Koopman streaming statistics with the recording
+    row-sharded over the mesh (the multi-chip form of
+    :func:`~.models.koopman.streaming_scan`).
+
+    Each device runs the sequential chunk scan over its contiguous
+    segment; shard-boundary snapshot pairs are preserved by seeding each
+    shard's carry with a one-row halo (its left neighbour's last row), so
+    the pair set is identical to the single-device scan.  With
+    ``forgetting < 1`` every shard's local statistics are decayed by
+    ``lam^(pairs downstream of it)`` before the ``psum`` merge — the
+    exponential weighting is a function of global pair age only, so the
+    merged result equals the sequential scan exactly (equality-tested;
+    summation order differs by roundoff).
+
+    ``stats0`` may carry prior data (its ``prev_*`` seeds shard 0 and its
+    gram/rhs decay by ``lam^M``, M = pairs added here), so long-lived
+    online accumulation composes with sharded catch-up over a backlog.
+    Requires ``X.shape[0]`` divisible by the mesh axis size.
+    """
+    from jax import shard_map
+
+    from bluerov2_dynamics_tpu.models.koopman import streaming_scan
+    from bluerov2_dynamics_tpu.ops.lifting import rbf_lift
+
+    N = X.shape[0]
+    S = mesh.shape[data_axis]
+    if N % S != 0:
+        raise ValueError(f"N={N} not divisible by mesh axis {S}")
+    m = N // S
+    dtype = stats0.gram.dtype
+    X = jnp.asarray(X, dtype)
+    U = jnp.asarray(U, dtype)
+    lam = jnp.asarray(forgetting, dtype)
+    # One-row halos: X[i*m - 1] seeds shard i's boundary pair; shard 0's
+    # halo slot carries stats0's own prev sample (resume semantics).
+    halo_X = jnp.concatenate(
+        [jnp.zeros((1, X.shape[1]), dtype), X[m - 1 :: m][: S - 1]])
+    halo_U = jnp.concatenate(
+        [stats0.prev_u[None], U[m - 1 :: m][: S - 1]])
+    empty = stats0._replace(
+        gram=jnp.zeros_like(stats0.gram),
+        rhs=jnp.zeros_like(stats0.rhs),
+        weight_sum=jnp.zeros_like(stats0.weight_sum),
+    )
+
+    def per_shard(X_loc, U_loc, hx, hu):
+        idx = jax.lax.axis_index(data_axis)
+        halo_z = rbf_lift(hx, stats0.centers, stats0.gamma,
+                          stats0.rbf_weights)[0]
+        first = idx == 0
+        s = empty._replace(
+            prev_z=jnp.where(first, stats0.prev_z, halo_z),
+            prev_u=hu[0],
+            prev_valid=jnp.where(first, stats0.prev_valid,
+                                 jnp.ones((), dtype)),
+        )
+        s = streaming_scan(s, X_loc, U_loc, chunk, lam)
+        # every shard downstream of this one adds m pairs
+        decay = lam ** (((S - 1) - idx) * m).astype(dtype)
+        return (
+            jax.lax.psum(s.gram * decay, data_axis),
+            jax.lax.psum(s.rhs * decay, data_axis),
+            jax.lax.psum(s.weight_sum * decay, data_axis),
+        )
+
+    fn = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(data_axis), P(data_axis), P(data_axis), P(data_axis)),
+        out_specs=(P(), P(), P()),
+        # the scan carry mixes replicated constants (fresh accumulator
+        # zeros, streaming_update's constant prev_valid) with
+        # shard-varying data; the collective structure is the three
+        # final psums, so skip the varying-axes check
+        check_vma=False,
+    )
+    gram, rhs, wsum = jax.jit(fn)(X, U, halo_X, halo_U)
+    n_new = (N - 1) + stats0.prev_valid  # pairs added by this call
+    carry_decay = lam ** n_new
+    prev_z = rbf_lift(X[-1:], stats0.centers, stats0.gamma,
+                      stats0.rbf_weights)[0]
+    return stats0._replace(
+        gram=carry_decay * stats0.gram + gram,
+        rhs=carry_decay * stats0.rhs + rhs,
+        weight_sum=carry_decay * stats0.weight_sum + wsum,
+        prev_z=prev_z,
+        prev_u=U[-1],
+        prev_valid=jnp.ones((), dtype),
+    )
+
+
 def sharded_ekf_bank(
     mesh: Mesh,
     step: Callable,

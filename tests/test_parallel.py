@@ -431,3 +431,49 @@ def test_sharded_pf_bank_matches_single_device(rng, mesh):
         with pytest.raises(ValueError):
             sharded_pf_bank(mesh, step, h, Q, R, m0, P0, U[:, :-1], Y, key,
                             n_particles=NP)
+
+
+def test_sharded_streaming_stats_matches_sequential(rng, mesh):
+    """The row-sharded streaming accumulator equals the sequential scan —
+    boundary pairs via halos, forgetting via per-shard global-age decay —
+    for lam=1 and lam<1, fresh and resumed."""
+    from bluerov2_dynamics_tpu.models import koopman
+    from bluerov2_dynamics_tpu.parallel import sharded_streaming_stats
+
+    X = jnp.asarray(rng.normal(size=(160, 3)))
+    U = jnp.asarray(rng.normal(size=(160, 2)))
+    centers = jnp.asarray(rng.normal(size=(5, 3)))
+
+    for lam in (1.0, 0.98):
+        init = koopman.streaming_init(centers, 0.6, input_dim=2,
+                                      dtype=X.dtype)
+        want = koopman.streaming_scan(init, X, U, 16, forgetting=lam)
+        got = sharded_streaming_stats(mesh, init, X, U, chunk=16,
+                                      forgetting=lam)
+        np.testing.assert_allclose(np.asarray(got.gram),
+                                   np.asarray(want.gram), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(got.rhs),
+                                   np.asarray(want.rhs), rtol=1e-9)
+        np.testing.assert_allclose(float(got.weight_sum),
+                                   float(want.weight_sum), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(got.prev_z),
+                                   np.asarray(want.prev_z), rtol=1e-12)
+        assert float(got.prev_valid) == 1.0
+
+        # resume: prior data in stats0 decays by lam^M and shard 0 picks
+        # up the boundary pair against stats0's carried sample
+        mid = 96
+        s_seq = koopman.streaming_scan(init, X[:mid], U[:mid], 16,
+                                       forgetting=lam)
+        got2 = sharded_streaming_stats(mesh, s_seq, X[mid:], U[mid:],
+                                       chunk=16, forgetting=lam)
+        want2 = koopman.streaming_scan(init, X, U, 16, forgetting=lam)
+        np.testing.assert_allclose(np.asarray(got2.gram),
+                                   np.asarray(want2.gram), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(got2.rhs),
+                                   np.asarray(want2.rhs), rtol=1e-9)
+        np.testing.assert_allclose(float(got2.weight_sum),
+                                   float(want2.weight_sum), rtol=1e-12)
+
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_streaming_stats(mesh, init, X[:150], U[:150], chunk=16)
