@@ -285,6 +285,14 @@ def fit_koopman_from_args(args, key, X_tr, U_tr, loader: Callable = None):
     from bluerov2_dynamics_tpu.models import koopman
 
     pi = getattr(args, "koopman_position_invariant", False)
+    chunk = getattr(args, "streaming_chunk", None)
+    lam = float(getattr(args, "forgetting", 1.0))
+    if lam != 1.0 and chunk is None:
+        raise SystemExit(
+            "--forgetting only applies to the streaming fit; add "
+            "--streaming-chunk N (otherwise the batch fit would silently "
+            "ignore it)."
+        )
     extra = getattr(args, "extra_csv", None) or []
     if extra:
         if getattr(args, "sweep", False):
@@ -312,14 +320,14 @@ def fit_koopman_from_args(args, key, X_tr, U_tr, loader: Callable = None):
                 position_invariant=pi,
             )
         )
-    chunk = getattr(args, "streaming_chunk", None)
-    if chunk:
+    if chunk is not None:
+        if chunk < 1:
+            raise SystemExit(f"--streaming-chunk must be >= 1, got {chunk}")
         if getattr(args, "sweep", False):
             raise SystemExit(
                 "--streaming-chunk fits via koopman.fit_streaming, which "
                 "does not support --sweep; drop one of the flags."
             )
-        lam = float(getattr(args, "forgetting", 1.0))
         if not (0.0 < lam <= 1.0):
             raise SystemExit(f"--forgetting must be in (0, 1], got {lam}")
         n_chunks = -(-max(len(X_tr), 1) // chunk)

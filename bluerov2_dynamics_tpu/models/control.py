@@ -554,7 +554,8 @@ class ILQRResult(NamedTuple):
     V: jnp.ndarray        # (H, r) raw decision variables (pre-squash)
     K: jnp.ndarray        # (H, r, ns) time-varying feedback gains
     S: jnp.ndarray        # (H+1, ns) flattened reference carry trajectory
-    costs: jnp.ndarray    # (iters,) total cost after each iteration
+    costs: jnp.ndarray    # (iters+1,) total cost: before the first sweep
+                          # (row 0), then after each sweep
 
 
 def ilqr(
@@ -706,13 +707,18 @@ def ilqr(
             S0, cost_0 = rollout(V0)
 
             def sweep(carry, _):
-                V, S, cost, mu = carry
+                V, S, cost, mu, mu_good = carry
                 k_ff, K_fb = backward(S, V, mu)
                 costs_a, V_a, S_a = jax.vmap(
                     lambda a: forward(V, S, k_ff, K_fb, a))(alphas)
                 costs_a = jnp.where(jnp.isnan(costs_a), jnp.inf, costs_a)
                 best = jnp.argmin(costs_a)
                 improved = costs_a[best] < cost - 1e-12
+                # remember the mu the ACCEPTED backward pass used: once
+                # the iterate converges every further sweep is a rejection
+                # and mu inflates 10x per sweep (up to 1e10), which would
+                # collapse the final recomputed gains toward zero
+                mu_good = jnp.where(improved, mu, mu_good)
                 mu = jnp.clip(jnp.where(improved, mu * 0.5, mu * 10.0),
                               1e-8, 1e10)
                 # explicit keep-previous on rejection: a failed backward
@@ -722,14 +728,18 @@ def ilqr(
                 V = jnp.where(improved, V_a[best], V)
                 S = jnp.where(improved, S_a[best], S)
                 cost = jnp.where(improved, costs_a[best], cost)
-                return (V, S, cost, mu), cost
+                return (V, S, cost, mu, mu_good), cost
 
-            (V, S, cost, mu), costs = jax.lax.scan(
-                sweep, (V0, S0, cost_0, jnp.asarray(mu0, dtype)),
+            mu_arr = jnp.asarray(mu0, dtype)
+            (V, S, cost, mu, mu_good), costs = jax.lax.scan(
+                sweep, (V0, S0, cost_0, mu_arr, mu_arr),
                 None, length=iters)
             # consistent gains for the FINAL trajectory (the line-search
-            # iterate's gains came from the previous sweep's backward pass)
-            _, K_fb = backward(S, V, mu)
+            # iterate's gains came from the previous sweep's backward
+            # pass), at the last ACCEPTED regularization — not the
+            # possibly rejection-inflated current mu
+            _, K_fb = backward(S, V, mu_good)
+            costs = jnp.concatenate([cost_0[None], costs])
         return V, S, K_fb, costs
 
     V, S, K_fb, costs = run(jnp.zeros((horizon, u_dim), dtype))

@@ -76,6 +76,15 @@ def decode(model: KoopmanModel, Z):
 # Fitting
 # ---------------------------------------------------------------------------
 
+def _solve_normal_eqns(gram, rhs, ridge):
+    """Tikhonov-regularized normal-equation solve — the ONE solve shared
+    by the batch fit (:func:`_ridge_solve`) and the streaming accumulator
+    (:func:`streaming_finalize`), so conditioning/precision fixes land in
+    both paths."""
+    gram = gram + ridge * jnp.eye(gram.shape[0], dtype=gram.dtype)
+    return jax.scipy.linalg.solve(gram, rhs, assume_a="pos")
+
+
 def _ridge_solve(G, Y, ridge):
     """Solve ``min ||G M - Y||^2 + ridge ||M||^2`` for ``M`` (d+r, d).
 
@@ -86,8 +95,7 @@ def _ridge_solve(G, Y, ridge):
     with jax.default_matmul_precision("highest"):
         gram = G.T @ G
         rhs = G.T @ Y
-    gram = gram + ridge * jnp.eye(gram.shape[0], dtype=gram.dtype)
-    return jax.scipy.linalg.solve(gram, rhs, assume_a="pos")
+    return _solve_normal_eqns(gram, rhs, ridge)
 
 
 def _fit_from_blocks(Z, Zp, Uc, centers, gamma, ridge):
@@ -294,6 +302,8 @@ def streaming_update(stats: KoopmanStats, X, U,
     X = jnp.asarray(X, stats.gram.dtype)
     U = jnp.asarray(U, stats.gram.dtype)
     N = X.shape[0]
+    if N == 0:  # empty poll from a live source: nothing to absorb
+        return stats
     lam = jnp.asarray(forgetting, stats.gram.dtype)
     Z_all = rbf_lift(X, stats.centers, stats.gamma, stats.rbf_weights)
     # Row 0 = boundary pair (prev -> X[0]), rows 1.. = internal pairs.
@@ -337,6 +347,10 @@ def streaming_scan(stats: KoopmanStats, X, U, chunk: int,
     :func:`streaming_update` once on the whole recording when
     ``forgetting=1`` (and to the chunked calls for any ``forgetting``).
     """
+    if chunk < 1:
+        # a non-positive chunk would silently absorb nothing (negative
+        # floor division skips both the scan and the tail)
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
     N = X.shape[0]
     n_chunks = N // chunk
     X = jnp.asarray(X, stats.gram.dtype)
@@ -369,9 +383,7 @@ def streaming_finalize(stats: KoopmanStats, ridge=1e-8) -> KoopmanModel:
     """
     d = stats.lift_dim
     ridge = jnp.asarray(ridge, stats.gram.dtype)
-    gram = stats.gram + ridge * jnp.eye(stats.gram.shape[0],
-                                        dtype=stats.gram.dtype)
-    M = jax.scipy.linalg.solve(gram, stats.rhs, assume_a="pos")
+    M = _solve_normal_eqns(stats.gram, stats.rhs, ridge)
     return KoopmanModel(
         centers=stats.centers,
         gamma=stats.gamma,

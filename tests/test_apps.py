@@ -750,3 +750,7 @@ def test_tank_koopman_streaming_fit(tmp_path, capsys):
     with pytest.raises(SystemExit):
         tank_koopman.main(_args(tmp_path, ["--streaming-chunk", "128",
                                            "--forgetting", "1.5"]))
+    with pytest.raises(SystemExit):  # forgetting without the streaming fit
+        tank_koopman.main(_args(tmp_path, ["--forgetting", "0.99"]))
+    with pytest.raises(SystemExit):  # chunk 0 must not silently batch-fit
+        tank_koopman.main(_args(tmp_path, ["--streaming-chunk", "0"]))

@@ -383,10 +383,41 @@ def test_ilqr_exact_on_lq_problem():
 
     np.testing.assert_allclose(np.asarray(res.U), np.asarray(U_ref),
                                rtol=1e-8, atol=1e-10)
-    assert res.costs.shape == (1,)
+    assert res.costs.shape == (2,)  # cost before the sweep + after it
     np.testing.assert_allclose(float(res.costs[-1]), cost_ref, rtol=1e-10)
     # gains shape: feedback on the (here unflattened) n-dim state
     assert res.K.shape == (H, r, n)
+
+
+def test_ilqr_gains_survive_post_convergence_sweeps(rng):
+    """Sweeps past convergence are rejections that inflate the Levenberg
+    mu 10x each; the FINAL gains must be recomputed at the last ACCEPTED
+    mu, not the inflated one (which would collapse K toward zero and turn
+    simulate_tvlqr into open-loop replay)."""
+    n, r, H = 3, 2, 12
+    A = np.eye(n) + 0.05 * rng.normal(size=(n, n))
+    B = 0.3 * rng.normal(size=(n, r))
+    step = lambda x, u: x @ jnp.asarray(A).T + u @ jnp.asarray(B).T
+    x0 = rng.normal(size=n)
+    effort = 0.1
+    many = control.ilqr(step, x0, np.zeros(n), horizon=H, iters=25,
+                        u_limit=None, effort_weight=effort, mu0=1.0,
+                        u_dim=r, dtype=jnp.float64)
+    # LQ problem: improvements shrink below the 1e-12 acceptance margin
+    # well before sweep 25, so the tail sweeps are all rejections and mu
+    # inflates 10x each (the broken code recomputed the final gains with
+    # that inflated mu -> |K| ~ 1e-5).  The fixed gains must match the
+    # unregularized finite-horizon Riccati oracle.
+    Q, R, P = np.eye(n), effort * np.eye(r), 100.0 * np.eye(n)
+    Ks = []
+    for _ in range(H):
+        K = np.linalg.solve(R + B.T @ P @ B, B.T @ P @ A)
+        P = Q + A.T @ P @ A - A.T @ P @ B @ K
+        Ks.append(K)
+    oracle = -np.stack(Ks[::-1])
+    rel = (np.abs(np.asarray(many.K) - oracle).max()
+           / np.abs(oracle).max())
+    assert rel < 0.05, rel  # broken code: rel ~ 1.0 (K collapsed to ~0)
 
 
 def test_ilqr_waypoint_on_lag_plant(plant):

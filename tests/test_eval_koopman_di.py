@@ -567,6 +567,25 @@ def test_streaming_forgetting_tracks_regime_change(rng):
     assert err_rls < 0.5 * err_full, (err_rls, err_full)
 
 
+def test_streaming_edge_cases(rng):
+    """Empty chunks are no-ops (live-source polls); non-positive chunk
+    sizes are rejected instead of silently absorbing nothing."""
+    import pytest
+
+    centers = jnp.asarray(rng.normal(size=(3, 2)))
+    s = koopman.streaming_init(centers, 0.5, input_dim=1, dtype=jnp.float64)
+    X = jnp.asarray(rng.normal(size=(4, 2)))
+    U = jnp.asarray(rng.normal(size=(4, 1)))
+    s1 = koopman.streaming_update(s, X, U)
+    s2 = koopman.streaming_update(s1, X[:0], U[:0])  # empty poll
+    np.testing.assert_array_equal(np.asarray(s2.gram), np.asarray(s1.gram))
+    np.testing.assert_array_equal(np.asarray(s2.prev_z),
+                                  np.asarray(s1.prev_z))
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="chunk"):
+            koopman.streaming_scan(s, X, U, bad)
+
+
 def test_fit_streaming_equals_batch_fit(rng):
     """fit_streaming at forgetting=1 reproduces fit (same k-means, same
     pairs; Gram accumulated chunkwise instead of one GEMM)."""
