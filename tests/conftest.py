@@ -29,3 +29,20 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    A single-process full-suite run accumulates hundreds of XLA:CPU
+    compiled executables over its lifetime and has segfaulted inside
+    ``backend_compile_and_load`` >60 min in (twice, different tests —
+    a process-lifetime pathology, not a test bug).  Clearing the
+    compilation caches at module teardown bounds that growth; jitted
+    functions stay valid and simply recompile on next use.
+    (``tests/run_suite.sh`` additionally chunks the suite across
+    processes for runs under heavy load.)
+    """
+    yield
+    jax.clear_caches()
