@@ -337,6 +337,37 @@ def streaming_update(stats: KoopmanStats, X, U,
     )
 
 
+@jax.jit
+def streaming_update_episode(stats: KoopmanStats, X, U,
+                             forgetting=1.0) -> KoopmanStats:
+    """Absorb a SELF-CONTAINED episode: ``X`` (N+1, n) states including
+    both endpoints, ``U`` (N, r) the controls applied at ``X[:-1]``.
+
+    Contributes exactly the N pairs ``(X[i], U[i]) -> X[i+1]`` and does
+    NOT bridge a boundary pair into the next call (``prev_valid`` is
+    reset) — the right call for discontiguous episodes
+    (:func:`fit_multi`-style resetting excitation) and for closed-loop
+    segments whose NEXT segment starts from this one's end state (the
+    cross-segment pair is then the next segment's first internal pair, so
+    nothing is lost or duplicated — used by
+    :func:`~bluerov2_dynamics_tpu.models.control.simulate_adaptive_koopman_lqr`).
+    """
+    if X.shape[0] != U.shape[0] + 1:
+        raise ValueError(
+            f"episode update expects X (N+1, n) and U (N, r); got "
+            f"X {X.shape} vs U {U.shape}")
+    U_pad = jnp.concatenate(
+        [jnp.asarray(U, stats.gram.dtype),
+         jnp.zeros((1, U.shape[1]), stats.gram.dtype)])
+    # the episode is self-contained in BOTH directions: ignore any stale
+    # boundary carried in (X[0] does not continue the previous stream)
+    # and carry none out
+    zero = jnp.zeros((), stats.gram.dtype)
+    stats = streaming_update(stats._replace(prev_valid=zero), X, U_pad,
+                             forgetting)
+    return stats._replace(prev_valid=zero)
+
+
 @partial(jax.jit, static_argnums=(3,))
 def streaming_scan(stats: KoopmanStats, X, U, chunk: int,
                    forgetting=1.0) -> KoopmanStats:

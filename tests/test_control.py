@@ -513,3 +513,124 @@ def test_mppi_obstacle_indicator_cost(plant):
     assert float(jnp.min(dm)) > 0.9 * radius, float(jnp.min(dm))
     # and it still reaches the target (measured 0.042)
     assert float(jnp.linalg.norm(X[-1, :3])) < 0.15
+
+
+# --------------------------- adaptive Koopman-LQR ---------------------------
+
+@pytest.fixture(scope="module")
+def adaptive_seed(plant, trim_eq):
+    """Streaming stats seeded from episodic near-hover excitation —
+    the koopman_dlqr recipe fed through streaming_update_episode."""
+    _, _, step = plant
+    u_eq, _ = trim_eq
+    n_ep, T, n_rbfs = 40, 80, 60
+    kU, kX = jax.random.split(jax.random.PRNGKey(0))
+    # NOTE: no explicit f32 — under the x64 conftest the plant step
+    # promotes to f64, and the scan carries must match (CLAUDE.md gotcha)
+    U_ep = jnp.clip(u_eq + 0.3 * jax.random.normal(kU, (n_ep, T, 8)), -1, 1)
+    x0s = 0.3 * jax.random.normal(kX, (n_ep, 12))
+
+    @jax.jit
+    def gen(x0, U):
+        def body(c, u):
+            c = step(c, u)
+            return c, c[0]
+
+        _, X = jax.lax.scan(body, (x0, _lag0()), U)
+        return X
+
+    Xs = jax.vmap(gen)(x0s, U_ep)
+    Xfull = jnp.concatenate([x0s[:, None, :], Xs], axis=1)  # (n_ep, T+1, 12)
+    from bluerov2_dynamics_tpu.ops.kmeans import kmeans
+    centers, _ = kmeans(jax.random.PRNGKey(1), Xfull.reshape(-1, 12),
+                        n_rbfs, iters=25)
+    stats = koopman.streaming_init(centers, 1.0, input_dim=8,
+                                   dtype=Xfull.dtype)
+
+    @jax.jit
+    def absorb(stats, Xe, Ue):
+        def body(s, xu):
+            return koopman.streaming_update_episode(s, xu[0], xu[1]), None
+
+        s, _ = jax.lax.scan(body, stats, (Xe, Ue))
+        return s
+
+    stats = absorb(stats, Xfull, U_ep)
+    assert float(stats.weight_sum) == n_ep * T  # every pair, weight 1
+    return stats, u_eq
+
+
+def test_adaptive_koopman_lqr_healthy_plant_regulates(plant, adaptive_seed):
+    """On the UNCHANGED plant the adaptive loop behaves like the frozen
+    lifted LQR: regulation succeeds and the re-solved gains are stable
+    (no churn when the data keeps confirming the model)."""
+    _, _, step = plant
+    stats0, u_eq = adaptive_seed
+    x0 = jnp.zeros(12).at[0].set(0.4).at[2].set(0.25).at[5].set(0.4)
+    res = control.simulate_adaptive_koopman_lqr(
+        step, (x0, _lag0()), stats0, jnp.zeros(12), u_eq,
+        steps=600, segment=100, forgetting=1.0, dither=0.0,
+        get_state=lambda c: c[0])
+    assert res.X.shape == (601, 12) and res.U.shape == (600, 8)
+    # measured: final |x| 2.4e-2 (the state-row re-trim carries a small
+    # model-bias offset the frozen policy's externally-supplied u_eq
+    # does not), gain deltas <= 0.041
+    assert float(jnp.linalg.norm(res.X[-1])) < 0.08
+    assert float(jnp.max(res.gain_deltas)) < 0.15
+    # resume contract: stats/u_eq feed back in and keep regulating
+    res2 = control.simulate_adaptive_koopman_lqr(
+        step, (res.X[-1], _lag0()), res.stats, jnp.zeros(12), res.u_eq,
+        steps=200, segment=100, forgetting=1.0, dither=0.0,
+        get_state=lambda c: c[0])
+    assert float(jnp.linalg.norm(res2.X[-1])) < 0.08
+
+
+def test_adaptive_koopman_lqr_recovers_thruster_damage(plant, adaptive_seed):
+    """A mid-life plant change (vertical thruster 6 REVERSED at half
+    strength) leaves the frozen lifted LQR with a large permanent offset;
+    the adaptive loop re-fits (A, B) from the closed-loop data, re-trims
+    the hover command, re-solves the gains, and recovers to the dither
+    noise floor — the case online adaptation exists for."""
+    _, _, step = plant
+    stats0, u_eq = adaptive_seed
+    gains = jnp.asarray([1, 1, 1, 1, 1, -0.5, 1, 1])
+
+    def step_dam(c, u):
+        return step(c, u * gains)
+
+    x0 = jnp.zeros(12).at[0].set(0.4).at[2].set(0.25).at[5].set(0.4)
+
+    pol_frozen = control.koopman_dlqr(
+        koopman.streaming_finalize(stats0, 1e-6), jnp.zeros(12), u_eq=u_eq)
+    Xf, _ = control.simulate_closed_loop(
+        step_dam, pol_frozen, (x0, _lag0()), 1200, get_state=lambda c: c[0])
+    tail_frozen = float(jnp.sqrt(jnp.mean(jnp.sum(Xf[-300:] ** 2, axis=1))))
+
+    res = control.simulate_adaptive_koopman_lqr(
+        step_dam, (x0, _lag0()), stats0, jnp.zeros(12), u_eq,
+        steps=1200, segment=100, forgetting=0.99, dither=0.05,
+        key=jax.random.PRNGKey(2), get_state=lambda c: c[0])
+    tail_ad = float(jnp.sqrt(jnp.mean(jnp.sum(res.X[-300:] ** 2, axis=1))))
+
+    # measured: frozen 1.69, adaptive 0.029 (58x).  The recovery horizon
+    # is set by how fast the RLS decays the 3200-pair healthy-data seed:
+    # lam=0.99 converges by segment 8; 0.995 needs ~16 segments; 0.998
+    # has not turned over by segment 12 (swept on this exact scenario).
+    assert tail_frozen > 0.8, tail_frozen
+    assert tail_ad < 0.15, tail_ad
+    assert tail_ad < 0.1 * tail_frozen
+    assert float(jnp.max(jnp.linalg.norm(res.X, axis=1))) < 2.0
+    assert float(jnp.max(jnp.abs(res.U))) <= 1.0 + 1e-6
+    # the re-trim found the damaged-plant hover structure: horizontal
+    # thrusters stay ~0, the vertical group re-balances (measured
+    # horiz max 0.011, vertical command on the reversed thruster 0.13)
+    assert float(jnp.max(jnp.abs(res.u_eq[:4]))) < 0.05
+
+
+def test_adaptive_koopman_lqr_validates_args(plant, adaptive_seed):
+    _, _, step = plant
+    stats0, u_eq = adaptive_seed
+    with pytest.raises(ValueError, match="multiple"):
+        control.simulate_adaptive_koopman_lqr(
+            step, (jnp.zeros(12), _lag0()), stats0, jnp.zeros(12), u_eq,
+            steps=250, segment=100, get_state=lambda c: c[0])

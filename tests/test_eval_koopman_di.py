@@ -605,3 +605,55 @@ def test_fit_streaming_equals_batch_fit(rng):
     assert pi.rbf_weights is not None
     err = float(koopman.evaluate(pi, X, U))
     assert np.isfinite(err)
+
+
+def test_streaming_episode_update_semantics(rng):
+    """Episode updates are self-contained in both directions, and
+    segmenting a contiguous trajectory into overlapping-endpoint episodes
+    reproduces the whole-trajectory pair set exactly (the invariant
+    control.simulate_adaptive_koopman_lqr relies on)."""
+    import pytest
+
+    centers = jnp.asarray(rng.normal(size=(4, 3)))
+    X = jnp.asarray(rng.normal(size=(41, 3)))
+    U = jnp.asarray(rng.normal(size=(40, 2)))
+
+    def init():
+        return koopman.streaming_init(centers, 0.6, input_dim=2,
+                                      dtype=X.dtype)
+
+    for lam in (1.0, 0.95):
+        # whole trajectory as ONE update (pad U: last row only feeds the
+        # boundary carry, which the reference path never uses)
+        ref = koopman.streaming_update(
+            init(), X, jnp.concatenate([U, jnp.zeros((1, 2), X.dtype)]),
+            lam)
+        # segmented: each episode re-includes the shared endpoint state,
+        # so the cross-segment pair is the next episode's first pair
+        seg = init()
+        for lo, hi in [(0, 10), (10, 25), (25, 40)]:
+            seg = koopman.streaming_update_episode(
+                seg, X[lo:hi + 1], U[lo:hi], lam)
+        np.testing.assert_allclose(np.asarray(seg.gram),
+                                   np.asarray(ref.gram), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(seg.rhs),
+                                   np.asarray(ref.rhs), rtol=1e-10)
+        np.testing.assert_allclose(float(seg.weight_sum),
+                                   float(ref.weight_sum), rtol=1e-12)
+        assert float(seg.prev_valid) == 0.0
+
+    # a stale boundary carried in from a prior streaming_update is
+    # ignored: episode(stats_with_prev) == episode(stats_without_prev)
+    lam = 0.9
+    Y = jnp.asarray(rng.normal(size=(6, 3)))
+    V = jnp.asarray(rng.normal(size=(5, 2)))
+    s_open = koopman.streaming_update(init(), X[:5], U[:5], lam)
+    assert float(s_open.prev_valid) == 1.0
+    a = koopman.streaming_update_episode(s_open, Y, V, lam)
+    b = koopman.streaming_update_episode(
+        s_open._replace(prev_valid=jnp.zeros((), X.dtype)), Y, V, lam)
+    np.testing.assert_array_equal(np.asarray(a.gram), np.asarray(b.gram))
+    np.testing.assert_array_equal(np.asarray(a.rhs), np.asarray(b.rhs))
+
+    with pytest.raises(ValueError, match="episode"):
+        koopman.streaming_update_episode(init(), X[:5], U[:5])
