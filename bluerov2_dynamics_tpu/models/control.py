@@ -325,7 +325,7 @@ def simulate_adaptive_koopman_lqr(
     segment: int = 100,
     Q=None,
     R=None,
-    ridge: float = 1e-6,
+    ridge: Optional[float] = None,
     forgetting: float = 0.995,
     riccati_iters: int = 200,
     u_limit: float = 1.0,
@@ -367,7 +367,14 @@ def simulate_adaptive_koopman_lqr(
     per episode, the :func:`koopman_dlqr` recipe) or from a prior
     :class:`AdaptiveLQRResult`.  ``x_ref``/``Q``/``R`` follow
     :func:`koopman_dlqr`; ``u_eq`` is the starting hover command (kept
-    fixed when ``retrim=False``).
+    fixed when ``retrim=False``).  ``ridge`` is RELATIVE — multiplied by
+    the mean Gram diagonal at every re-solve — because the RLS-decayed
+    Gram's scale moves ~30x over a run and the regularizer must track it
+    (see the measured knife edge in the solve body).  Default
+    ``100 * eps(dtype)``: just above the roundoff floor of whatever
+    precision the stats carry, and every decade above that floor buys
+    visible model bias (f64 measured: rel 1e-5 puts 0.25 on horizontal
+    trim commands whose truth is 0; 100*eps reads 0.005).
     """
     if steps % segment != 0 or segment < 1:
         raise ValueError(
@@ -384,6 +391,8 @@ def simulate_adaptive_koopman_lqr(
     x_ref = jnp.asarray(x_ref, dtype)
     u_eq0 = jnp.asarray(u_eq, dtype)
     lam = jnp.asarray(forgetting, dtype)
+    if ridge is None:
+        ridge = 100.0 * float(jnp.finfo(dtype).eps)
     if key is None:
         key = jax.random.PRNGKey(0)
 
@@ -393,7 +402,18 @@ def simulate_adaptive_koopman_lqr(
                          stats0.rbf_weights)
 
         def solve(stats, u_eq_prev):
-            model = koopman.streaming_finalize(stats, ridge)
+            # RELATIVE ridge (x mean Gram diagonal): the decayed Gram's
+            # scale shrinks from ~seed_pairs to ~1/(1-lam) over the run
+            # (30x here), so a fixed absolute ridge cannot sit right at
+            # both ends, and in f32 the knife edge is real (measured on
+            # the damage scenario; the x64 test suite masks it):
+            # absolute 1e-6 -> Cholesky garbage (tail 3.2), 1e-4 -> 0.03,
+            # 1e-2 -> over-biased 0.52; RELATIVE 1e-6 -> still garbage in
+            # the late-run decayed-Gram phase (3.7), 1e-5 -> 0.059,
+            # 1e-4 -> 0.12 (bias).  f64 is clean from 100*eps up to 1e-6
+            # and biased from 1e-5 — hence the 100*eps(dtype) default.
+            tr = jnp.trace(stats.gram) / d
+            model = koopman.streaming_finalize(stats, ridge * tr)
             K, _ = _riccati_gain(model.A, model.B, Q_lift, R, riccati_iters)
             if not retrim:
                 return K, u_eq_prev
@@ -407,8 +427,10 @@ def simulate_adaptive_koopman_lqr(
             with jax.default_matmul_precision("highest"):
                 resid = x_ref - (model.A @ z_ref)[:n]
                 Bn = model.B[:n]
+                BtB = Bn.T @ Bn
                 u_new = jax.scipy.linalg.solve(
-                    Bn.T @ Bn + 1e-6 * jnp.eye(r, dtype=dtype),
+                    BtB + (1e-5 * jnp.trace(BtB) / r + 1e-12)
+                    * jnp.eye(r, dtype=dtype),
                     Bn.T @ resid, assume_a="pos")
             return K, jnp.clip(u_new, -u_limit, u_limit)
 

@@ -590,6 +590,29 @@ def test_control_demo_ilqr_task(tmp_path, capsys, monkeypatch):
     assert (tmp_path / "media" / "control_demo_ilqr_2D.png").exists()
 
 
+def test_control_demo_adaptive_task(tmp_path, capsys, monkeypatch):
+    """Adaptive task smoke run (small seed + short loop): runs end-to-end,
+    beats the frozen policy, writes the two-trajectory figure.  The
+    recovery CLAIM is pinned at full scale in
+    tests/test_control.py::test_adaptive_koopman_lqr_recovers_thruster_damage."""
+    from bluerov2_dynamics_tpu.apps import control_demo
+
+    orig = control_demo.run_adaptive
+    monkeypatch.setattr(
+        control_demo, "run_adaptive",
+        lambda: orig(steps=600, segment=100, n_episodes=20, ep_len=60,
+                     n_rbfs=40))
+    out = control_demo.main(
+        ["adaptive", "--media-dir", str(tmp_path / "media")])
+    text = capsys.readouterr().out
+    assert "re-trimmed command" in text
+    rec = out["adaptive"]
+    assert rec["U"].shape == (600, 8)
+    assert np.isfinite(rec["tail_rms"])
+    assert rec["tail_rms"] < rec["frozen_tail_rms"]
+    assert (tmp_path / "media" / "control_demo_adaptive_2D.png").exists()
+
+
 def test_estimate_app_particle_filter(tmp_path, capsys):
     """--filter pf: the bootstrap PF beats the raw sensors on the pseudo
     recording and reports its ESS diagnostic; the figure gets a

@@ -627,6 +627,26 @@ def test_adaptive_koopman_lqr_recovers_thruster_damage(plant, adaptive_seed):
     assert float(jnp.max(jnp.abs(res.u_eq[:4]))) < 0.05
 
 
+def test_adaptive_koopman_lqr_f32_full_scale():
+    """f32 REGRESSION (the x64 conftest masks this class): the first TPU
+    run of the adaptive damage scenario failed to recover (tail 1.15 vs
+    frozen 1.55) because the forgetting-decayed Gram's f32 Cholesky went
+    to garbage under the original ABSOLUTE ridge 1e-6 — the decayed-Gram
+    scale drops ~30x over the run, so no absolute value sits right at
+    both ends.  The fix is the RELATIVE ridge (x mean Gram diagonal,
+    default 1e-5 ~ 80x f32 eps).  This drives the app's full-scale
+    explicit-f32 path — the exact configuration that failed."""
+    from bluerov2_dynamics_tpu.apps import control_demo
+
+    out = control_demo.run_adaptive()
+    assert out["X"].dtype == np.float32
+    # measured f32: adaptive tail 0.059, frozen 1.69 (ridge sweep in the
+    # solve-body comment); thresholds match the f64 library test
+    assert out["frozen_tail_rms"] > 0.8, out["frozen_tail_rms"]
+    assert out["tail_rms"] < 0.15, out["tail_rms"]
+    assert out["tail_rms"] < 0.1 * out["frozen_tail_rms"]
+
+
 def test_adaptive_koopman_lqr_validates_args(plant, adaptive_seed):
     _, _, step = plant
     stats0, u_eq = adaptive_seed
