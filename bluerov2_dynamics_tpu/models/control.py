@@ -601,6 +601,8 @@ def simulate_mppi(
     model_get_state: Optional[Callable] = None,
     key=None,
     dtype=jnp.float32,
+    mesh=None,
+    data_axis: str = "data",
 ):
     """Closed-loop MPPI (sampling-based receding-horizon control).
 
@@ -643,6 +645,16 @@ def simulate_mppi(
     gradient-free planning on a purely data-driven lifted model — is
     pinned in ``tests/test_control.py``.
 
+    ``mesh`` (a ``jax.sharding.Mesh``) shards the SAMPLE axis over
+    ``data_axis``: the noise batch and the ``n_samples`` parallel model
+    rollouts are constrained to the mesh and GSPMD turns the softmax
+    normalization and the weighted-noise update into all-reduces over
+    ICI — sampling-based control scaled over devices, with the plan and
+    plant carry replicated.  The draws are IDENTICAL to the unsharded
+    call with the same key (counter-based threefry), so the sharded loop
+    equals the single-device one up to reduction order (pinned in
+    ``tests/test_parallel.py``; exercised by the driver dryrun).
+
     Returns ``(X, U)`` like :func:`simulate_mpc`.  Deterministic given
     ``key`` (default ``PRNGKey(0)``).
     """
@@ -655,9 +667,21 @@ def simulate_mppi(
          else jnp.asarray(state_weight, dtype))
     key = jax.random.PRNGKey(0) if key is None else key
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def _shard(a):
+            spec = PartitionSpec(data_axis, *([None] * (a.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, spec))
+    else:
+        def _shard(a):
+            return a
+
     def _batched(carry):
         return jax.tree.map(
-            lambda a: jnp.broadcast_to(a, (n_samples,) + a.shape), carry)
+            lambda a: _shard(
+                jnp.broadcast_to(a, (n_samples,) + a.shape)), carry)
 
     def _stage_cost(x, u):
         c = (jnp.sum(w * (x - x_target) ** 2, axis=-1)
@@ -667,8 +691,8 @@ def simulate_mppi(
         return c
 
     def _replan(U, carry, k):
-        eps = sigma * jax.random.normal(
-            k, (n_samples, horizon, u_dim), dtype)
+        eps = _shard(sigma * jax.random.normal(
+            k, (n_samples, horizon, u_dim), dtype))
         U_cand = jnp.clip(U[None] + eps, -u_limit, u_limit)
 
         def body(c, u):            # u: (n_samples, u_dim)

@@ -477,3 +477,33 @@ def test_sharded_streaming_stats_matches_sequential(rng, mesh):
 
     with pytest.raises(ValueError, match="divisible"):
         sharded_streaming_stats(mesh, init, X[:150], U[:150], chunk=16)
+
+
+def test_sharded_mppi_matches_single_device(rng, mesh):
+    """simulate_mppi(mesh=...) shards the sample axis (noise batch +
+    parallel rollouts) and GSPMD inserts the softmax all-reduces; the
+    draws are identical to the unsharded call (counter-based threefry),
+    so the closed-loop trajectories agree up to reduction order."""
+    from bluerov2_dynamics_tpu.models import control
+
+    A = jnp.asarray(np.eye(3) * 0.9 + 0.02 * rng.normal(size=(3, 3)))
+    B = jnp.asarray(0.2 * rng.normal(size=(3, 2)))
+
+    def step(x, u):
+        return x @ A.T + jnp.tanh(u) @ B.T
+
+    x0 = jnp.asarray(rng.normal(size=3))
+    kwargs = dict(
+        sim_steps=15, horizon=8, n_samples=64, sigma=0.2,
+        temperature=0.05, init_rounds=5, replan_rounds=2, u_dim=2,
+        key=jax.random.PRNGKey(3), dtype=x0.dtype)
+    X_ref, U_ref = control.simulate_mppi(step, x0, jnp.zeros(3), **kwargs)
+    X_sh, U_sh = control.simulate_mppi(step, x0, jnp.zeros(3), mesh=mesh,
+                                       **kwargs)
+    np.testing.assert_allclose(np.asarray(X_sh), np.asarray(X_ref),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(U_sh), np.asarray(U_ref),
+                               rtol=1e-9, atol=1e-12)
+    # and it actually regulates (the sampled plan is doing work)
+    assert float(jnp.linalg.norm(X_sh[-1])) < 0.3 * float(
+        jnp.linalg.norm(x0))
