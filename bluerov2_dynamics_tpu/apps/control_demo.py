@@ -19,6 +19,10 @@ thruster-lag plant:
                     a DISCONTINUOUS keep-out-disk indicator cost that a
                     gradient planner cannot see, vs the obstacle-blind
                     LQR cutting straight through (opt-in);
+* ``lqg``         — OUTPUT feedback: pose-only noisy mocap, an EKF in
+                    the loop reconstructs velocities + lag states and
+                    the LQR acts on the estimate — vs naive raw-pose
+                    feedback and the true-state oracle (opt-in);
 * ``adaptive``    — ONLINE adaptation: the Koopman-LQR loop keeps
                     refitting its lifted (A, B) from the closed-loop
                     data (forgetting-RLS), re-trimming and re-solving
@@ -204,6 +208,60 @@ def run_mppi(sim_steps=400, n_samples=512):
             "final_err": ef}
 
 
+def run_lqg(steps=600, sigma=5e-3):
+    """Output-feedback hover recovery: the controller sees ONLY a noisy
+    6-dim pose (mocap at sigma=5 mm / 5 mrad, 50 Hz) — velocities and
+    the 24 actuator-lag states are never measured.  An EKF over the
+    flattened 36-dim plant carry reconstructs them through the dynamics
+    and the LQR acts on the posterior (LQG / certainty equivalence);
+    baselines: the same policy fed the raw noisy pose with zeroed
+    velocities, and the full-true-state oracle."""
+    p, cfg, plant = _plant()
+    pol = control.fossen_lqr(p, cfg, DT)
+    x0 = _perturbed_x0()
+    carry0 = (x0, jnp.zeros((8, 3), jnp.float32))
+    info(f"lqg: pose-only mocap (sigma={sigma * 1e3:.0f} mm/mrad), EKF on "
+         f"the 36-dim carry in the loop, {steps} steps — one jitted scan")
+    res, t = time_fn(lambda: control.simulate_lqg(
+        plant, pol, lambda x: x[:6], 1e-8, sigma ** 2, carry0, steps=steps,
+        key=jax.random.PRNGKey(0), get_state=lambda c: c[0]), warmup=0)
+
+    @jax.jit
+    def run_naive(carry0, key):
+        def body(c, k):
+            y = c[0][:6] + sigma * jax.random.normal(k, (6,), jnp.float32)
+            u = pol(jnp.concatenate([y, jnp.zeros(6, jnp.float32)]))
+            c = plant(c, u)
+            return c, c[0]
+
+        _, X = jax.lax.scan(body, carry0, jax.random.split(key, steps))
+        return X
+
+    Xn = run_naive(carry0, jax.random.PRNGKey(0))
+    Xo, _ = control.simulate_closed_loop(plant, pol, carry0, steps,
+                                         get_state=lambda c: c[0])
+    tail = steps // 4
+
+    def _rms(X):
+        return float(jnp.sqrt(jnp.mean(jnp.sum(X[-tail:] ** 2, axis=1))))
+
+    tail_lqg, tail_naive, tail_oracle = _rms(res.X), _rms(Xn), _rms(Xo)
+    est_err = float(jnp.sqrt(jnp.mean(
+        jnp.sum((res.X_est[-tail:] - res.X[-tail:]) ** 2, axis=1))))
+    mean_nis = float(jnp.mean(res.nis))
+    ok(f"LQG {t:.1f} s (incl. compile): tail-RMS |x| = {tail_lqg:.2e} vs "
+       f"naive raw-pose feedback {tail_naive:.2e} "
+       f"({tail_naive / max(tail_lqg, 1e-30):.0f}x) and true-state oracle "
+       f"{tail_oracle:.2e}; estimate error {est_err:.2e}, mean NIS "
+       f"{mean_nis:.2f} (chi^2(6) expects 6)")
+    return {"X": np.asarray(res.X), "X_est": np.asarray(res.X_est),
+            "U": np.asarray(res.U), "X_naive": np.asarray(Xn),
+            "X_oracle": np.asarray(Xo),
+            "tail_rms": tail_lqg, "naive_tail_rms": tail_naive,
+            "oracle_tail_rms": tail_oracle, "est_err": est_err,
+            "mean_nis": mean_nis}
+
+
 def run_adaptive(steps=1200, segment=100, n_episodes=40, ep_len=80,
                  n_rbfs=60, forgetting=0.99, dither=0.05):
     """Online adaptation to a mid-life plant change: vertical thruster 6
@@ -349,7 +407,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("task", nargs="?", default="all",
                     choices=["hover", "koopman", "waypoint", "mpc", "mppi",
-                             "ilqr", "adaptive", "all"])
+                             "ilqr", "adaptive", "lqg", "all"])
     ap.add_argument("--steps", type=int, default=600,
                     help="closed-loop steps for the hover tasks")
     ap.add_argument("--media-dir", type=str, default=None,
@@ -375,6 +433,9 @@ def main(argv=None):
     if args.task == "adaptive":
         # opt-in like mpc (episodic seed + 12 in-scan Riccati re-solves)
         out["adaptive"] = run_adaptive()
+    if args.task == "lqg":
+        # opt-in (per-step 36-dim jacfwd + covariance update in the scan)
+        out["lqg"] = run_lqg()
 
     if args.media_dir:
         from bluerov2_dynamics_tpu.viz import plot_topdown_with_depth
@@ -400,6 +461,13 @@ def main(argv=None):
             name = "control_demo_ilqr_2D.png"
             title = ("iLQR plan under an unseen current: time-varying "
                      "gains vs open-loop replay (top view)")
+        elif args.task == "lqg":
+            trajs = {"LQG": out["lqg"]["X"],
+                     "NAIVE": out["lqg"]["X_naive"],
+                     "ORACLE": out["lqg"]["X_oracle"]}
+            name = "control_demo_lqg_2D.png"
+            title = ("Output-feedback LQG (pose-only noisy mocap) vs "
+                     "naive raw-pose feedback (top view)")
         elif args.task == "adaptive":
             trajs = {"ADAPTIVE": out["adaptive"]["X"],
                      "FROZEN": out["adaptive"]["X_frozen"]}

@@ -294,6 +294,171 @@ def simulate_closed_loop(
 
 
 # ---------------------------------------------------------------------------
+# Output feedback (LQG: EKF in the loop)
+# ---------------------------------------------------------------------------
+
+class LQGResult(NamedTuple):
+    """Closed-loop output-feedback trace.
+
+    ``X`` are the TRUE plant states (never seen by the controller),
+    ``X_est`` the filter's posterior state estimates the policy acted
+    on, ``Y`` the noisy measurements, ``nis``/``loglik`` the filter's
+    innovation diagnostics (same semantics as
+    :class:`~bluerov2_dynamics_tpu.models.estimation.FilterResult`), and
+    ``cov`` the final posterior covariance over the FLATTENED plant
+    carry.
+    """
+
+    X: jnp.ndarray       # (steps+1, n) true states
+    X_est: jnp.ndarray   # (steps+1, n) posterior estimates
+    U: jnp.ndarray       # (steps, r) applied commands
+    Y: jnp.ndarray       # (steps+1, m) measurements
+    nis: jnp.ndarray     # (steps+1,)
+    loglik: jnp.ndarray  # ()
+    cov: jnp.ndarray     # (ns, ns) final flattened-carry covariance
+
+
+def simulate_lqg(
+    plant_step: Callable,
+    policy: Callable,
+    h: Callable,
+    Q,
+    R,
+    carry0,
+    steps: int,
+    key=None,
+    m0=None,
+    P0=None,
+    get_state: Callable = lambda c: c,
+    residual: Optional[Callable] = None,
+    model_step: Optional[Callable] = None,
+    model_state: Optional[Callable] = None,
+    model_h: Optional[Callable] = None,
+) -> LQGResult:
+    """Output-feedback control: an EKF in the loop feeds the policy its
+    state ESTIMATE — the controller never sees the true state.
+
+    Every full-state controller above assumes ``x`` is measurable; a
+    real vehicle gets noisy partial measurements (the reference's whole
+    data pipeline consumes raw mocap with derived velocities and
+    nothing downstream ever filters it — see ``models/estimation.py``).
+    This closes the loop the standard way (LQG / certainty
+    equivalence): at every step the policy acts on the EKF posterior,
+    the TRUE plant advances, a noisy measurement ``y = h(x) + N(0, R)``
+    is drawn, and the EKF predict/update runs — all ONE jitted scan.
+
+    The filter state is the FLATTENED plant carry
+    (``ravel_pytree(carry0)``, the :func:`ilqr` convention), so the
+    unmeasured actuator-lag states are estimated alongside the vehicle
+    state through their effect on the dynamics.  ``h(x)`` observes the
+    ``get_state`` readout (e.g. pose-only mocap: ``lambda x: x[:6]``);
+    ``Q``/``R`` follow the conventions of
+    :func:`~bluerov2_dynamics_tpu.models.estimation.ekf` but over the
+    flattened carry / the measurement, and may be scalars or vectors
+    (expanded to diagonals).  ``m0``/``P0`` default to the true flattened
+    ``carry0`` (exact initial belief) and ``1e-2 I``.
+
+    The in-loop filter follows the exact conventions of
+    :func:`~bluerov2_dynamics_tpu.models.estimation.ekf` — first update
+    with ``Y[0]``, then predict/update — so feeding the recorded
+    ``(U, Y)`` to the OFFLINE filter reproduces ``X_est`` exactly
+    (the linear-plant oracle test pins this against
+    :func:`~bluerov2_dynamics_tpu.models.estimation.kalman_filter`).
+
+    The filter may run on a DIFFERENT model than the plant (the
+    planning-model hooks of :func:`simulate_mpc`/:func:`simulate_mppi`,
+    estimation edition): ``model_step(m, u) -> m'`` propagates the
+    belief in its own space, ``model_state(m)`` reads out the state
+    estimate fed to the policy (and reported as ``X_est``), and
+    ``model_h(m)`` predicts the measurement; ``m0`` (required then) sets
+    the belief space's dimension for ``Q``/``P0``.  **Koopman-LQG** —
+    belief = the lifted ``z``, ``model_step`` the linear EDMDc system,
+    ``model_h = z[:6]`` pose readout — closes a fully data-driven
+    output-feedback loop: no physics, no velocity measurements anywhere
+    (pinned in ``tests/test_control.py``, demoed by the ``lqg`` app
+    task).
+
+    Deterministic given ``key`` (default ``PRNGKey(0)``); the only
+    randomness is the measurement noise.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    from bluerov2_dynamics_tpu.models.estimation import _sym, _update
+
+    s0, unravel = ravel_pytree(carry0)
+    dtype = s0.dtype
+    x0 = get_state(carry0)
+    m_dim = h(x0).shape[0]
+
+    def _cov(M, dim):
+        M = jnp.asarray(M, dtype)
+        if M.ndim == 0:
+            return M * jnp.eye(dim, dtype=dtype)
+        if M.ndim == 1:
+            return jnp.diag(M)
+        return M
+
+    def step_s(s, u):
+        return ravel_pytree(plant_step(unravel(s), u))[0]
+
+    if model_step is None:
+        if m0 is not None:
+            m0 = ravel_pytree(m0)[0]
+        model_step = step_s
+        model_state = lambda m: get_state(unravel(m))  # noqa: E731
+    elif m0 is None:
+        raise ValueError(
+            "m0 is required when the filter runs on its own model_step "
+            "(the belief space's dimension cannot be inferred)")
+    if model_state is None:
+        model_state = lambda m: m                      # noqa: E731
+    if model_h is None:
+        model_h = lambda m: h(model_state(m))          # noqa: E731
+
+    m0 = s0 if m0 is None else jnp.asarray(m0, dtype)
+    ns = m0.shape[0]
+    Q = _cov(Q, ns)
+    R = _cov(R, m_dim)
+    P0 = 1e-2 * jnp.eye(ns, dtype=dtype) if P0 is None else _cov(P0, ns)
+    key = jax.random.PRNGKey(0) if key is None else key
+    Lr = jnp.linalg.cholesky(R)
+
+    def h_s(s):
+        return h(get_state(unravel(s)))
+
+    @jax.jit
+    def run(s0, m0, P0, key):
+        keys = jax.random.split(key, steps + 1)
+        y0 = h_s(s0) + Lr @ jax.random.normal(keys[0], (m_dim,), dtype)
+        m, P, nis0, ll0 = _update(m0, P0, y0, model_h, R, residual)
+
+        def body(carry, k):
+            s_true, m, P = carry
+            u = policy(model_state(m))
+            s_true = step_s(s_true, u)
+            y = h_s(s_true) + Lr @ jax.random.normal(k, (m_dim,), dtype)
+            F = jax.jacfwd(lambda mm: model_step(mm, u))(m)
+            m_pred = model_step(m, u)
+            P_pred = _sym(F @ P @ F.T + Q)
+            m, P, nis, ll = _update(m_pred, P_pred, y, model_h, R,
+                                    residual)
+            return (s_true, m, P), (
+                get_state(unravel(s_true)), model_state(m), u, y, nis, ll)
+
+        (s_f, m_f, P_f), (Xs, Ms, Us, Ys, niss, lls) = jax.lax.scan(
+            body, (s0, m, P), keys[1:])
+        X = jnp.concatenate([x0[None], Xs])
+        X_est = jnp.concatenate([model_state(m)[None], Ms])
+        Y = jnp.concatenate([y0[None], Ys])
+        return LQGResult(
+            X=X, X_est=X_est, U=Us, Y=Y,
+            nis=jnp.concatenate([nis0[None], niss]),
+            loglik=ll0 + jnp.sum(lls), cov=P_f)
+
+    return run(s0, m0, P0, key)
+
+
+# ---------------------------------------------------------------------------
 # Adaptive Koopman-LQR (online streaming refit + gain re-solve)
 # ---------------------------------------------------------------------------
 

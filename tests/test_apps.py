@@ -613,6 +613,26 @@ def test_control_demo_adaptive_task(tmp_path, capsys, monkeypatch):
     assert (tmp_path / "media" / "control_demo_adaptive_2D.png").exists()
 
 
+def test_control_demo_lqg_task(tmp_path, capsys, monkeypatch):
+    """LQG task smoke run (short loop): runs end-to-end in explicit f32,
+    beats the naive raw-pose feedback, writes the three-trajectory
+    figure.  Full-scale claims are pinned in
+    tests/test_control.py::test_lqg_pose_only_regulates_lag_plant (f64)
+    and test_control_demo_lqg_full_scale_f32 (f32)."""
+    from bluerov2_dynamics_tpu.apps import control_demo
+
+    orig = control_demo.run_lqg
+    monkeypatch.setattr(control_demo, "run_lqg", lambda: orig(steps=200))
+    out = control_demo.main(["lqg", "--media-dir", str(tmp_path / "media")])
+    text = capsys.readouterr().out
+    assert "mean NIS" in text
+    rec = out["lqg"]
+    assert rec["U"].shape == (200, 8)
+    assert rec["X"].dtype == np.float32
+    assert rec["tail_rms"] < rec["naive_tail_rms"]
+    assert (tmp_path / "media" / "control_demo_lqg_2D.png").exists()
+
+
 def test_estimate_app_particle_filter(tmp_path, capsys):
     """--filter pf: the bootstrap PF beats the raw sensors on the pseudo
     recording and reports its ESS diagnostic; the figure gets a
