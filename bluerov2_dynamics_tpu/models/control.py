@@ -383,7 +383,7 @@ def simulate_lqg(
     """
     from jax.flatten_util import ravel_pytree
 
-    from bluerov2_dynamics_tpu.models.estimation import _sym, _update
+    from bluerov2_dynamics_tpu.models.estimation import _predict, _update
 
     s0, unravel = ravel_pytree(carry0)
     dtype = s0.dtype
@@ -405,7 +405,8 @@ def simulate_lqg(
         if m0 is not None:
             m0 = ravel_pytree(m0)[0]
         model_step = step_s
-        model_state = lambda m: get_state(unravel(m))  # noqa: E731
+        if model_state is None:
+            model_state = lambda m: get_state(unravel(m))  # noqa: E731
     elif m0 is None:
         raise ValueError(
             "m0 is required when the filter runs on its own model_step "
@@ -437,9 +438,12 @@ def simulate_lqg(
             u = policy(model_state(m))
             s_true = step_s(s_true, u)
             y = h_s(s_true) + Lr @ jax.random.normal(k, (m_dim,), dtype)
-            F = jax.jacfwd(lambda mm: model_step(mm, u))(m)
-            m_pred = model_step(m, u)
-            P_pred = _sym(F @ P @ F.T + Q)
+            # same predict/update core as the offline estimation.ekf —
+            # the bit-exact offline-equivalence contract (and the same
+            # default matmul precision: the offline EKF is TPU-blessed
+            # with consistent NIS at tank scale, and LQG states sit near
+            # the origin, outside the raw-state-cancellation class)
+            m_pred, P_pred = _predict(m, P, u, model_step, Q)
             m, P, nis, ll = _update(m_pred, P_pred, y, model_h, R,
                                     residual)
             return (s_true, m, P), (
@@ -541,7 +545,7 @@ def simulate_adaptive_koopman_lqr(
     visible model bias (f64 measured: rel 1e-5 puts 0.25 on horizontal
     trim commands whose truth is 0; 100*eps reads 0.005).
     """
-    if steps % segment != 0 or segment < 1:
+    if segment < 1 or steps % segment != 0:
         raise ValueError(
             f"steps ({steps}) must be a positive multiple of segment "
             f"({segment})")
@@ -577,7 +581,8 @@ def simulate_adaptive_koopman_lqr(
             # the late-run decayed-Gram phase (3.7), 1e-5 -> 0.059,
             # 1e-4 -> 0.12 (bias).  f64 is clean from 100*eps up to 1e-6
             # and biased from 1e-5 — hence the 100*eps(dtype) default.
-            tr = jnp.trace(stats.gram) / d
+            # (The Gram is (d+r, d+r): lifted AND control columns.)
+            tr = jnp.trace(stats.gram) / stats.gram.shape[0]
             model = koopman.streaming_finalize(stats, ridge * tr)
             K, _ = _riccati_gain(model.A, model.B, Q_lift, R, riccati_iters)
             if not retrim:

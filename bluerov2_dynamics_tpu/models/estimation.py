@@ -130,6 +130,19 @@ def _update(m, P, y, h: Callable, R, residual: Optional[Callable]):
     return m + delta, P_new, nis, ll
 
 
+def _predict(m, P, u, step: Callable, Q):
+    """EKF time update: exact ``jacfwd`` linearization at the posterior.
+    The single shared core of :func:`ekf` and the in-loop filter of
+    :func:`~bluerov2_dynamics_tpu.models.control.simulate_lqg` — their
+    documented bit-exact offline/in-loop equivalence depends on both
+    calling THIS function (same ops, same order, same default matmul
+    precision)."""
+    F = jax.jacfwd(lambda xx: step(xx, u))(m)
+    m_pred = step(m, u)
+    P_pred = _sym(F @ P @ F.T + Q)
+    return m_pred, P_pred
+
+
 def ekf(
     step: Callable,
     h: Callable,
@@ -171,9 +184,7 @@ def ekf(
     def body(carry, inp):
         m, P = carry
         u, y = inp
-        F = jax.jacfwd(lambda xx: step(xx, u))(m)
-        m_pred = step(m, u)
-        P_pred = _sym(F @ P @ F.T + Q)
+        m_pred, P_pred = _predict(m, P, u, step, Q)
         m, P, nis, ll = _update(m_pred, P_pred, y, h, R, residual)
         return (m, P), (m, P, nis, ll)
 

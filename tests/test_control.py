@@ -809,3 +809,7 @@ def test_adaptive_koopman_lqr_validates_args(plant, adaptive_seed):
         control.simulate_adaptive_koopman_lqr(
             step, (jnp.zeros(12), _lag0()), stats0, jnp.zeros(12), u_eq,
             steps=250, segment=100, get_state=lambda c: c[0])
+    with pytest.raises(ValueError, match="multiple"):
+        control.simulate_adaptive_koopman_lqr(
+            step, (jnp.zeros(12), _lag0()), stats0, jnp.zeros(12), u_eq,
+            steps=250, segment=0, get_state=lambda c: c[0])
