@@ -1196,6 +1196,79 @@ def run_full(only: str | None = None):
                      abs(r_stream - r_batch) / max(r_batch, 1e-30),
                      "rel", None))
 
+    def sec_control():
+        # Closed-loop control throughput at the blessed app shapes
+        # (RESULTS §2c) — the operational metric is the REAL-TIME factor
+        # against the 50 Hz plant.  Chained via an x0 perturbation (the
+        # ONE timing discipline); the policy/seed setup is paid once
+        # outside the timed region.
+        from bluerov2_dynamics_tpu.models import control, fossen
+        from bluerov2_dynamics_tpu.models.params import (
+            fossen_params as fp_ctl,
+            lag_params as lp_ctl,
+            thruster_config as tc_ctl,
+        )
+
+        p = fp_ctl()
+        cfg = tc_ctl()
+        plant = fossen.make_thruster_step(p, cfg, lp_ctl(dt), dt, "euler")
+        pol = control.fossen_lqr(p, cfg, dt)
+        jax.block_until_ready(pol.K)
+        lag0 = jnp.zeros((8, 3), jnp.float32)
+        x0 = jnp.zeros((2, 12), jnp.float32).at[0, 0].set(0.5).at[0, 5].set(0.5)
+        steps = 600
+
+        # pure state-feedback loop: plant + policy, strictly sequential —
+        # the latency-bound baseline (cf. ekf_single in sec_estimation)
+        @jax.jit
+        def lqr_loop(x0):
+            X, _ = control.simulate_closed_loop(
+                plant, pol, (x0[0], lag0), steps, get_state=lambda c: c[0])
+            return x0 + 1e-20 * X[-1]
+
+        sps, warm = chained_steps_per_sec(lqr_loop, x0, steps, 3)
+        rows.append(("lqr_closed_loop_steps_per_sec", sps,
+                     f"steps/s ({warm:.3f} s/call; {sps / 50.0:.0f}x "
+                     "real time at 50 Hz)", None))
+
+        # output-feedback LQG: per step one 36-dim jacfwd of the lag
+        # plant + Joseph update (the `brov2-control lqg` shape)
+        @jax.jit
+        def lqg_loop(x0):
+            res = control.simulate_lqg(
+                plant, pol, lambda x: x[:6], 1e-8, 25e-6, (x0[0], lag0),
+                steps=steps, key=jax.random.PRNGKey(0),
+                get_state=lambda c: c[0])
+            return x0 + 1e-20 * res.X[-1]
+
+        sps_g, warm_g = chained_steps_per_sec(lqg_loop, x0, steps, 3)
+        rows.append(("lqg_closed_loop_steps_per_sec", sps_g,
+                     f"steps/s ({warm_g:.3f} s/call; {sps_g / 50.0:.0f}x "
+                     "real time at 50 Hz)", None))
+
+        # sampling MPPI at the blessed obstacle shape: 4x512 sampled
+        # 60-step rollouts per plant step — throughput in sampled plant
+        # steps/s (the massively-parallel shape)
+        sim_steps, rounds, n_samp, H_m, init_rounds = 150, 4, 512, 60, 20
+
+        @jax.jit
+        def mppi_loop(x0):
+            X, _ = control.simulate_mppi(
+                plant, x0[0], jnp.zeros(12, jnp.float32),
+                sim_steps=sim_steps, horizon=H_m, n_samples=n_samp,
+                sigma=0.15, temperature=0.01, init_rounds=init_rounds,
+                replan_rounds=rounds, effort_weight=1e-2,
+                carry_init=lambda x: (x, lag0),
+                get_state=lambda c: c[0], key=jax.random.PRNGKey(1))
+            return x0 + 1e-20 * X[-1]
+
+        sampled = (sim_steps * rounds + init_rounds) * n_samp * H_m
+        sps_m, warm_m = chained_steps_per_sec(mppi_loop, x0, sampled, 3)
+        rows.append(("mppi_sampled_plant_steps_per_sec", sps_m,
+                     f"sampled-steps/s ({warm_m:.3f} s/call for "
+                     f"{sim_steps} plant steps = "
+                     f"{sim_steps / warm_m / 50.0:.1f}x real time)", None))
+
     # window_blocks is a ~12-minute 30-compile tuning sweep: kept out of
     # the default --full pass (its result is a committed DEFAULT, not a
     # per-round measurement); rerun explicitly when retuning.
@@ -1211,6 +1284,7 @@ def run_full(only: str | None = None):
         "numerics_guard": sec_numerics_guard,
         "estimation": sec_estimation,
         "streaming": sec_streaming,
+        "control": sec_control,
         "ingest": sec_ingest,
     }
     if only is not None and only not in sections:
