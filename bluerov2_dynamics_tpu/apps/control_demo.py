@@ -29,6 +29,11 @@ thruster-lag plant:
                     the gains every segment, recovering from a reversed
                     half-strength thruster that strands the frozen
                     policy (opt-in);
+* ``los``         — waypoint GUIDANCE: lookahead-based line-of-sight
+                    path following (Fossen ch. 10.3) over a 4-waypoint
+                    square with depth interpolation and a station-
+                    keeping hold at the final waypoint, the whole
+                    mission one jitted scan (opt-in);
 * ``ilqr``        — second-order trajectory optimization (iterative LQR,
                     ~10 sweeps where Adam needs hundreds of iterations),
                     then the plan executed CLOSED-LOOP with the backward
@@ -364,6 +369,45 @@ def run_waypoint(horizon=250, opt_steps=250):
             "terminal_error": err}
 
 
+LOS_WAYPOINTS = [[1.5, 0.0, 0.3], [1.5, 1.5, 0.5], [0.0, 1.5, 0.2],
+                 [0.0, 0.0, 0.0]]
+
+
+def run_los(steps=4000, accept_radius=0.15, lookahead=0.6,
+            cruise_speed=0.25):
+    """LOS waypoint mission: outer guidance + hover-LQR inner loop."""
+    from bluerov2_dynamics_tpu.models import guidance
+
+    p, cfg, plant = _plant()
+    info(f"los: {len(LOS_WAYPOINTS)}-waypoint square at "
+         f"{cruise_speed} m/s cruise, lookahead {lookahead} m, "
+         f"acceptance {accept_radius} m — one jitted {steps}-step scan")
+    pol = control.fossen_lqr(p, cfg, DT)
+    plan = guidance.make_plan([0, 0, 0], LOS_WAYPOINTS,
+                              accept_radius=accept_radius,
+                              lookahead=lookahead,
+                              cruise_speed=cruise_speed)
+    carry0 = (jnp.zeros(12, jnp.float32), jnp.zeros((8, 3), jnp.float32))
+    res, t = time_fn(lambda: guidance.simulate_los_mission(
+        plant, pol, plan, carry0, steps, get_state=lambda c: c[0]),
+        warmup=0)
+    s = guidance.mission_summary(res, plan)
+    hits = ", ".join(
+        f"wp{i + 1} @ {h * DT:.1f} s (closest {d:.3f} m)"
+        for i, (h, d) in enumerate(zip(s["hit_step"], s["min_dist"])))
+    ok(f"mission {t:.1f} s (incl. compile): all waypoints hit = "
+       f"{s['all_hit']} [{hits}]; cross-track RMS "
+       f"{s['cross_track_rms'] * 100:.1f} cm in transit; station-keeping "
+       f"error at the final waypoint {s['final_pos_err'] * 100:.2f} cm")
+    return {"X": np.asarray(res.X), "U": np.asarray(res.U),
+            "wp_index": np.asarray(res.wp_index),
+            "cross_track": np.asarray(res.cross_track),
+            **{k: s[k] for k in ("all_hit", "final_pos_err",
+                                 "cross_track_rms")},
+            "min_dist": np.asarray(s["min_dist"]),
+            "hit_step": np.asarray(s["hit_step"])}
+
+
 def run_ilqr(horizon=250, iters=10, current=(0.12, -0.08, 0.0)):
     """iLQR waypoint plan + time-varying-LQR execution under an unseen
     current.  The planner never sees the current; the backward pass'
@@ -407,7 +451,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("task", nargs="?", default="all",
                     choices=["hover", "koopman", "waypoint", "mpc", "mppi",
-                             "ilqr", "adaptive", "lqg", "all"])
+                             "ilqr", "adaptive", "lqg", "los", "all"])
     ap.add_argument("--steps", type=int, default=600,
                     help="closed-loop steps for the hover tasks")
     ap.add_argument("--media-dir", type=str, default=None,
@@ -436,6 +480,9 @@ def main(argv=None):
     if args.task == "lqg":
         # opt-in (per-step 36-dim jacfwd + covariance update in the scan)
         out["lqg"] = run_lqg()
+    if args.task == "los":
+        # opt-in (4000-step mission scan)
+        out["los"] = run_los()
 
     if args.media_dir:
         from bluerov2_dynamics_tpu.viz import plot_topdown_with_depth
@@ -468,6 +515,13 @@ def main(argv=None):
             name = "control_demo_lqg_2D.png"
             title = ("Output-feedback LQG (pose-only noisy mocap) vs "
                      "naive raw-pose feedback (top view)")
+        elif args.task == "los":
+            trajs = {"LOS": out["los"]["X"]}
+            name = "control_demo_los_2D.png"
+            title = ("LOS waypoint mission: lookahead guidance + "
+                     "hover-LQR inner loop (top view)")
+            # draw the acceptance circles of the waypoints
+            obstacles = [(wx, wy, 0.15) for wx, wy, _ in LOS_WAYPOINTS]
         elif args.task == "adaptive":
             trajs = {"ADAPTIVE": out["adaptive"]["X"],
                      "FROZEN": out["adaptive"]["X_frozen"]}

@@ -11,6 +11,7 @@
 * :mod:`pinc` — physics-informed residual network (flax/optax).
 * :mod:`sysid` — differentiable Fossen coefficient identification.
 * :mod:`control` — trim / LQR / Koopman-LQR / trajopt / MPC / MPPI.
+* :mod:`guidance` — lookahead-based LOS waypoint path following.
 * :mod:`estimation` — KF / EKF / UKF / PF / MHE / RTS smoother / Koopman-KF.
 """
 

@@ -633,6 +633,27 @@ def test_control_demo_lqg_task(tmp_path, capsys, monkeypatch):
     assert (tmp_path / "media" / "control_demo_lqg_2D.png").exists()
 
 
+def test_control_demo_los_task(tmp_path, capsys, monkeypatch):
+    """LOS waypoint-mission task smoke run (short mission): runs
+    end-to-end, reports hits, writes the waypoint-circle figure.  The
+    full-mission CLAIM (all 4 waypoints + station keeping) is pinned in
+    tests/test_guidance.py::test_full_plant_square_mission_f32."""
+    from bluerov2_dynamics_tpu.apps import control_demo
+
+    orig = control_demo.run_los
+    monkeypatch.setattr(control_demo, "run_los",
+                        lambda: orig(steps=700, cruise_speed=0.3))
+    out = control_demo.main(["los", "--media-dir", str(tmp_path / "media")])
+    text = capsys.readouterr().out
+    assert "cross-track RMS" in text
+    rec = out["los"]
+    assert rec["U"].shape == (700, 8)
+    assert rec["X"].dtype == np.float32
+    # short mission: at least the first waypoint is reached
+    assert rec["min_dist"][0] < 0.15
+    assert (tmp_path / "media" / "control_demo_los_2D.png").exists()
+
+
 def test_estimate_app_particle_filter(tmp_path, capsys):
     """--filter pf: the bootstrap PF beats the raw sensors on the pseudo
     recording and reports its ESS diagnostic; the figure gets a
