@@ -97,12 +97,23 @@ class WaypointPlan(NamedTuple):
     accept_radius: jnp.ndarray   # scalar: horizontal acceptance circle
     lookahead: jnp.ndarray       # scalar: LOS lookahead distance [m]
     cruise_speed: jnp.ndarray    # scalar: desired surge u_d in transit
+    integral_gain: jnp.ndarray   # scalar kappa: 0 = plain LOS, >0 = ILOS
 
 
 def make_plan(start_pos, waypoints, accept_radius=0.15, lookahead=0.6,
-              cruise_speed=0.25, dtype=jnp.float32):
+              cruise_speed=0.25, integral_gain=0.0, dtype=jnp.float32):
     """Build a :class:`WaypointPlan` from a start position and an
-    ``(N, 3)`` waypoint array (NED; ``N >= 1``)."""
+    ``(N, 3)`` waypoint array (NED; ``N >= 1``).
+
+    ``integral_gain`` (kappa) > 0 enables INTEGRAL LOS (ILOS,
+    Borhaug/Kaasa/Pettersen 2008): under a constant ocean current the
+    plain LOS law settles with a steady-state cross-track offset (the
+    heading correction needed to crab into the current is only produced
+    BY an error); ILOS integrates the cross-track error and steers on
+    ``e + kappa * e_int``, driving the offset to zero.  The integrator
+    state is carried through the mission scan and reset at each
+    waypoint switch.
+    """
     start = jnp.asarray(start_pos, dtype).reshape(3)
     wps = jnp.asarray(waypoints, dtype).reshape(-1, 3)
     return WaypointPlan(
@@ -110,6 +121,7 @@ def make_plan(start_pos, waypoints, accept_radius=0.15, lookahead=0.6,
         accept_radius=jnp.asarray(accept_radius, dtype),
         lookahead=jnp.asarray(lookahead, dtype),
         cruise_speed=jnp.asarray(cruise_speed, dtype),
+        integral_gain=jnp.asarray(integral_gain, dtype),
     )
 
 
@@ -128,9 +140,11 @@ def _advance_index(plan: WaypointPlan, pos, idx):
     return jnp.minimum(idx + jnp.where(hit | overrun, 1, 0), n_seg + 1)
 
 
-def _references(plan: WaypointPlan, x, idx):
+def _references(plan: WaypointPlan, x, idx, e_int):
     """Reference state + error mask for the inner-loop gain at waypoint
-    index ``idx`` (``idx > n_seg`` = hold at the final waypoint)."""
+    index ``idx`` (``idx > n_seg`` = hold at the final waypoint).
+    ``e_int`` is the ILOS cross-track integrator (steers on
+    ``e + kappa * e_int``; a no-op at ``integral_gain = 0``)."""
     dtype = plan.waypoints.dtype
     n_seg = plan.waypoints.shape[0] - 1
     hold = idx > n_seg
@@ -139,9 +153,10 @@ def _references(plan: WaypointPlan, x, idx):
     b = plan.waypoints[seg]
     pos = x[:3]
 
-    psi_los = los_heading(a, b, pos, plan.lookahead)
     pi_p = path_tangential_angle(a, b)
     s, e = track_errors(a, b, pos)
+    e_eff = e + plan.integral_gain * e_int
+    psi_los = ssa(pi_p + jnp.arctan2(-e_eff, plan.lookahead))
     seg_len = jnp.maximum(jnp.linalg.norm(b[:2] - a[:2]), 1e-6)
     frac = jnp.clip(s / seg_len, 0.0, 1.0)
     z_d = a[2] + frac * (b[2] - a[2])
@@ -192,32 +207,47 @@ def simulate_los_mission(
     carry0,
     steps: int,
     get_state: Callable = lambda c: c,
+    dt: float = 0.02,
 ) -> MissionResult:
     """Fly a waypoint mission closed-loop: LOS guidance (outer) + a
     state-feedback gain (inner) against any plant step of this
     framework.  One jitted scan; ``policy`` is an
     :class:`~bluerov2_dynamics_tpu.models.control.LQRPolicy` (its
     ``K``/``u_eq``/clip limits are used; ``z_ref``/``phi`` are replaced
-    by the guidance references).
+    by the guidance references).  ``dt`` only feeds the ILOS
+    integrator (irrelevant at ``integral_gain = 0``).
     """
     K = policy.K
     u_eq = policy.u_eq
+    dtype = plan.waypoints.dtype
+    n_seg = plan.waypoints.shape[0] - 1
 
     @jax.jit
     def run(carry0):
         def body(carry, _):
-            pc, idx = carry
+            pc, idx, e_int = carry
             x = get_state(pc)
-            idx = _advance_index(plan, x[:3], idx)
-            x_ref, hold, e_ct = _references(plan, x, idx)
+            idx_new = _advance_index(plan, x[:3], idx)
+            # reset the ILOS integrator on waypoint switch / in hold
+            e_int = jnp.where((idx_new != idx) | (idx_new > n_seg),
+                              jnp.zeros((), dtype), e_int)
+            x_ref, hold, e_ct = _references(plan, x, idx_new, e_int)
+            # Borhaug-style ILOS integrator: de_int/dt =
+            # U * Delta * e / (Delta^2 + (e + kappa e_int)^2) — slows
+            # near large errors (anti-windup) and freezes in hold.
+            e_eff = e_ct + plan.integral_gain * e_int
+            rate = (plan.cruise_speed * plan.lookahead * e_ct
+                    / (plan.lookahead ** 2 + e_eff ** 2))
+            e_int = jnp.where(hold, e_int, e_int + dt * rate)
             err = _masked_error(x, x_ref, hold)
             u = jnp.clip(u_eq - err @ K.T, policy.u_lo, policy.u_hi)
             pc = plant_step(pc, u)
-            return (pc, idx), (get_state(pc), u, idx, e_ct, x_ref[5])
+            return (pc, idx_new, e_int), (get_state(pc), u, idx_new,
+                                          e_ct, x_ref[5])
 
         idx0 = jnp.asarray(1, jnp.int32)
         _, (X, U, wp_idx, e_ct, psi_d) = jax.lax.scan(
-            body, (carry0, idx0), None, length=steps)
+            body, (carry0, idx0, jnp.zeros((), dtype)), None, length=steps)
         X = jnp.concatenate([get_state(carry0)[None], X])
         return MissionResult(X, U, wp_idx, e_ct, psi_d)
 

@@ -69,11 +69,12 @@ def test_make_plan_prepends_start():
 # Switching on a trivial kinematic plant (fast)
 # ---------------------------------------------------------------------------
 
-def _kinematic_mission(wps, steps=900, dtype=jnp.float32):
+def _kinematic_mission(wps, steps=900, kappa=0.0, dtype=jnp.float32):
     """Single-integrator 'vehicle': velocity commands pass straight
     through — isolates the guidance/switching logic from the dynamics."""
     plan = guidance.make_plan(jnp.zeros(3, dtype), wps, accept_radius=0.1,
-                              lookahead=0.4, cruise_speed=0.5, dtype=dtype)
+                              lookahead=0.4, cruise_speed=0.5,
+                              integral_gain=kappa, dtype=dtype)
     # Plant: x,y advance along psi at the commanded surge, z and psi are
     # first-order servos.  With u = -K err, K=+1 rows make each channel
     # a stabilizing servo on its reference (x[6] stays 0, so
@@ -177,6 +178,80 @@ def test_full_plant_square_mission_f32(full_plant):
     # step-0 "hit" is a geometric artifact — exclude it).
     hits = s["hit_step"][:3]
     assert (np.diff(hits) > 0).all()
+
+
+def _current_mission(kappa, steps=1500, cur=0.25, dtype=jnp.float32):
+    """Kinematic vehicle in a constant +y cross current, straight +x
+    path: isolates the ILOS claim from the dynamics."""
+    plan = guidance.make_plan([0.0, 0.0, 0.0], [[30.0, 0.0, 0.0]],
+                              accept_radius=0.1, lookahead=0.5,
+                              cruise_speed=0.5, integral_gain=kappa,
+                              dtype=dtype)
+    K = jnp.zeros((8, 12), dtype).at[0, 6].set(1.0).at[1, 5].set(1.0)
+    pol = control.LQRPolicy(K=K, z_ref=jnp.zeros(12, dtype),
+                            u_eq=jnp.zeros(8, dtype), u_lo=-2.0, u_hi=2.0)
+
+    def plant(x, u):
+        psi = x[5] + 2.0 * u[1] * DT
+        return (x.at[0].add(u[0] * jnp.cos(psi) * DT)
+                 .at[1].add((u[0] * jnp.sin(psi) + cur) * DT)
+                 .at[5].set(psi))
+
+    return guidance.simulate_los_mission(plant, pol, plan,
+                                         jnp.zeros(12, dtype), steps, dt=DT)
+
+
+def test_ilos_rejects_current_offset_kinematic():
+    # Plain LOS under a cross current settles at the well-known
+    # steady-state cross-track offset e_ss = Delta * v_cur / u_along
+    # (the crab-angle correction is only produced BY an error); ILOS
+    # integrates it away.
+    tail = slice(-400, None)
+    e_plain = np.asarray(_current_mission(0.0).cross_track)[tail]
+    e_ilos = np.asarray(_current_mission(0.5).cross_track)[tail]
+    assert abs(e_plain.mean()) > 0.15        # ~0.25 m predicted offset
+    assert abs(e_ilos.mean()) < 0.02
+    assert np.abs(e_ilos).max() < 0.05
+
+
+def test_ilos_noop_without_current():
+    # kappa > 0 must not degrade the no-current multi-waypoint mission
+    # (the integrator resets at every switch).
+    wps = [[2.0, 0.0, 0.2], [2.0, 2.0, 0.4], [0.0, 2.0, 0.1]]
+    res0, plan0 = _kinematic_mission(wps)
+    res1, plan1 = _kinematic_mission(wps, kappa=0.4)
+    s0 = guidance.mission_summary(res0, plan0)
+    s1 = guidance.mission_summary(res1, plan1)
+    assert s0["all_hit"] and s1["all_hit"]
+    assert s1["cross_track_rms"] < s0["cross_track_rms"] + 0.05
+
+
+def test_ilos_full_plant_cross_current_f32(full_plant):
+    """BlueROV2 in a 0.08 m/s cross current: plain LOS tracks the
+    straight path with a steady cross-track offset (0.036 m measured —
+    smaller than the kinematic prediction 0.19 m because the LQR's
+    sway-damping rows already crab partially into the current); ILOS
+    removes it (24x measured at kappa=0.4)."""
+    _, pol = full_plant
+    p = fossen_params(current=(0.0, 0.08, 0.0))
+    cfg = thruster_config()
+    plant = fossen.make_thruster_step(p, cfg, lag_params(DT), DT, "euler")
+    carry0 = (jnp.zeros(12, jnp.float32), jnp.zeros((8, 3), jnp.float32))
+
+    def fly(kappa):
+        plan = guidance.make_plan([0, 0, 0], [[10.0, 0.0, 0.0]],
+                                  accept_radius=0.1, lookahead=0.6,
+                                  cruise_speed=0.25, integral_gain=kappa)
+        return guidance.simulate_los_mission(
+            plant, pol, plan, carry0, 1600, get_state=lambda c: c[0],
+            dt=DT)
+
+    tail = slice(-500, None)
+    e_plain = np.asarray(fly(0.0).cross_track)[tail]
+    e_ilos = np.asarray(fly(0.4).cross_track)[tail]
+    assert abs(e_plain.mean()) > 0.02
+    assert abs(e_ilos.mean()) < 0.005
+    assert abs(e_ilos.mean()) < 0.1 * abs(e_plain.mean())
 
 
 def test_fleet_vmap_matches_single(full_plant):
