@@ -1231,6 +1231,38 @@ def run_full(only: str | None = None):
                      f"steps/s ({warm:.3f} s/call; {sps / 50.0:.0f}x "
                      "real time at 50 Hz)", None))
 
+        # LOS waypoint guidance as a FLEET: 256 vehicles vmapped over
+        # the same 24 s mission (the TPU batch shape; a single mission
+        # is latency-bound like the lqr row).  Throughput in
+        # mission-steps/s across the fleet.
+        from bluerov2_dynamics_tpu.models import guidance
+
+        wps = jnp.asarray([[1.5, 0.0, 0.3], [1.5, 1.5, 0.5],
+                           [0.0, 1.5, 0.2], [0.0, 0.0, 0.0]], jnp.float32)
+        plan = guidance.make_plan(jnp.zeros(3, jnp.float32), wps,
+                                  accept_radius=0.15, lookahead=0.6,
+                                  cruise_speed=0.25)
+        n_fleet, m_steps = 256, 1200
+        x0f = 0.05 * jax.random.normal(jax.random.PRNGKey(3),
+                                       (n_fleet, 12), jnp.float32)
+
+        @jax.jit
+        def los_fleet(x0s):
+            def fly(x0):
+                res = guidance.simulate_los_mission(
+                    plant, pol, plan, (x0, lag0), m_steps,
+                    get_state=lambda c: c[0])
+                return res.X[-1]
+
+            return x0s + 1e-20 * jax.vmap(fly)(x0s)
+
+        sps_l, warm_l = chained_steps_per_sec(los_fleet, x0f,
+                                              n_fleet * m_steps, 3)
+        rows.append(("los_fleet_mission_steps_per_sec", sps_l,
+                     f"mission-steps/s ({n_fleet}-vehicle fleet, "
+                     f"{warm_l:.3f} s/call for {m_steps / 50.0:.0f} s "
+                     "missions)", None))
+
         # output-feedback LQG: per step one 36-dim jacfwd of the lag
         # plant + Joseph update (the `brov2-control lqg` shape)
         @jax.jit

@@ -17,11 +17,20 @@ cd "$(dirname "$0")/.."
 
 CHUNKS=(
   "tests/test_apps.py"
-  "tests/test_control.py tests/test_estimation.py"
+  "tests/test_control.py tests/test_estimation.py tests/test_guidance.py"
   "tests/test_bag_pipeline.py tests/test_bag_sqlite.py tests/test_bagmeta.py tests/test_bench_helpers.py tests/test_data.py tests/test_eval_koopman_di.py tests/test_fossen.py tests/test_fossen_soa.py tests/test_golden.py"
   "tests/test_graft_entry.py tests/test_implicit.py tests/test_native_cdr.py tests/test_ops.py tests/test_packaging.py tests/test_pallas_eval.py tests/test_pallas_quat.py tests/test_pallas_rollout.py tests/test_parallel.py"
   "tests/test_pinc.py tests/test_reference_parity.py tests/test_sysid.py tests/test_tether.py tests/test_typesys.py tests/test_viz.py"
 )
+
+# guard: a test file missing from every chunk would silently not run
+all_chunks="${CHUNKS[*]}"
+for f in tests/test_*.py; do
+  if ! grep -qF "$f" <<< "$all_chunks"; then
+    echo "ERROR: $f is not in any chunk — add it to CHUNKS" >&2
+    exit 2
+  fi
+done
 
 fail=0
 for chunk in "${CHUNKS[@]}"; do
